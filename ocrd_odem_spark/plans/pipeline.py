@@ -1,0 +1,221 @@
+"""The end-to-end extraction plan (reference lifecycle §3.4 of SURVEY.md).
+
+Design: the whole extract path is a chain of NARROW per-document
+transformations over the nested ``spans`` array — sort, token post-process,
+empty-line drop, optional de-hyphenation fold, re-offset — all Catalyst
+higher-order functions inside one whole-stage-codegen span.  The only wide
+operation in the flagship plan is an optional broadcast join against the
+(small) page-blacklist dimension.  At 100 TB this means: zero shuffles of
+the fact table, linear scaling with input splits, and skew from oversized
+"book" documents bounded by single-row cost rather than hot shuffle keys.
+
+Stage order reproduces the reference (``ocr_files.py:62-91``): blacklist
+filters precede token ops; the trailing-punct split precedes the min-length
+drop; de-hyphenation (quality path) runs on the post-processed lines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..operators.dehyphen import dehyphenate_spans
+from ..operators.tokens import postprocess_line, reversed_line, strip_marks
+
+SPAN_FIELDS = ("kind", "text", "media_ref", "offset")
+
+
+def _span(kind: Column, text: Column, media_ref: Column, offset: Column) -> Column:
+    return F.struct(
+        kind.alias("kind"),
+        text.alias("text"),
+        media_ref.alias("media_ref"),
+        offset.alias("offset"),
+    )
+
+
+def sorted_spans(spans: Column) -> Column:
+    """Order a span array by its offset column (input order contract)."""
+    return F.array_sort(
+        spans,
+        lambda left, right: F.when(left["offset"] < right["offset"], -1)
+        .when(left["offset"] > right["offset"], 1)
+        .otherwise(0),
+    )
+
+
+def reoffset(spans: Column) -> Column:
+    """Dense 0-based offsets in array order (final output contract)."""
+    return F.transform(
+        spans,
+        lambda s, i: _span(s["kind"], s["text"], s["media_ref"], i.cast("int")),
+    )
+
+
+def postprocess_spans(spans: Column, rtl: Column | None = None) -> Column:
+    """Token post-processing of every text span + empty-line cascade drop.
+
+    ``rtl`` (optional boolean column): fold the line right-to-left first,
+    after stripping directional marks (reference O3/T8).
+    """
+
+    def fix_text(s: Column) -> Column:
+        line = s["text"]
+        if rtl is not None:
+            line = F.when(rtl, reversed_line(strip_marks(line))).otherwise(line)
+        return _span(
+            s["kind"],
+            F.when(s["kind"] == "text", postprocess_line(line)).otherwise(s["text"]),
+            s["media_ref"],
+            s["offset"],
+        )
+
+    processed = F.transform(spans, fix_text)
+    return F.filter(
+        processed, lambda s: (s["kind"] == "media") | (s["text"] != "")
+    )
+
+
+def drop_blacklisted(spans: Column, blacklisted_refs: Column) -> Column:
+    """Remove every span of a blacklisted page (F3/F4 net effect)."""
+    refs = F.coalesce(blacklisted_refs, F.array().cast("array<string>"))
+    return F.filter(spans, lambda s: ~F.array_contains(refs, s["media_ref"]))
+
+
+def extract(
+    docs: DataFrame,
+    page_meta: DataFrame | None = None,
+    doc_meta: DataFrame | None = None,
+    dehyphenate: bool = False,
+    with_metrics: bool = False,
+) -> DataFrame:
+    """Full extraction plan: (doc_id, spans) -> (doc_id, spans[, metrics]).
+
+    * ``page_meta``: optional page dimension with ``label`` / ``log_types``;
+      blacklisted pages (Colorchecker/Leerseite labels, cover_* log types)
+      are aggregated per doc and BROADCAST-joined — the fact table never
+      shuffles.
+    * ``doc_meta``: optional doc dimension; docs failing the METS-type /
+      PICA relevance filter (F1) are dropped; RTL language docs ('ara',
+      'heb', 'fas') get the mark-strip + right-to-left line fold.
+    * ``dehyphenate``: run the per-page wrap-merge fold (quality path T4).
+    """
+    out = docs
+    rtl_col = None
+
+    if doc_meta is not None:
+        relevant = relevance_filter(doc_meta).select(
+            "doc_id",
+            F.array_intersect(
+                F.col("languages"), F.array(F.lit("ara"), F.lit("heb"), F.lit("fas"))
+            ).alias("_rtl_langs"),
+        )
+        out = out.join(F.broadcast(relevant), "doc_id", "inner")
+        rtl_col = F.size("_rtl_langs") > 0
+
+    spans = sorted_spans(F.col("spans"))
+
+    if page_meta is not None:
+        bl = blacklisted_pages(page_meta)
+        out = out.join(F.broadcast(bl), "doc_id", "left")
+        spans = drop_blacklisted(spans, F.col("_blacklisted_refs"))
+
+    spans = postprocess_spans(spans, rtl=rtl_col)
+    n_lines_in = F.size(F.filter(F.col("spans"), lambda s: s["kind"] == "text"))
+
+    if dehyphenate:
+        folded = dehyphenate_spans(spans)
+        spans, n_merges = folded["spans"], folded["n_merges"]
+    else:
+        n_merges = F.lit(0)
+
+    result = out.withColumn("_out", reoffset(spans)).withColumn(
+        "_n_merges", n_merges
+    ).withColumn("_n_lines_in", n_lines_in)
+
+    cols = [F.col("doc_id"), F.col("_out").alias("spans")]
+    if with_metrics:
+        text_spans = F.filter(F.col("_out"), lambda s: s["kind"] == "text")
+        cols += [
+            F.size(F.filter(F.col("_out"), lambda s: s["kind"] == "media"))
+            .cast("long")
+            .alias("n_pages"),
+            F.col("_n_lines_in").cast("long").alias("n_lines_in"),
+            F.size(text_spans).cast("long").alias("n_lines_out"),
+            F.aggregate(
+                text_spans,
+                F.lit(0),
+                lambda acc, s: acc + F.size(F.split(s["text"], " ")),
+            )
+            .cast("long")
+            .alias("n_tokens_out"),
+            F.col("_n_merges").cast("long").alias("n_dehyphenated"),
+        ]
+    return result.select(*cols)
+
+
+def relevance_filter(doc_meta: DataFrame) -> DataFrame:
+    """F1: keep docs whose METS type and PICA 2nd char mark them relevant
+    (reference ``mets.py:17-18,107-122``)."""
+    return doc_meta.filter(
+        F.col("mets_type").isin("monograph", "volume", "issue", "additional")
+        & F.substring("pica_type", 2, 1).isin("a", "f", "F", "Z", "B")
+    )
+
+
+def blacklisted_pages(page_meta: DataFrame) -> DataFrame:
+    """F3/F4: pages whose label or linked logical types hit a blacklist
+    (substring semantics, reference ``mets.py:269-270,417-420``)."""
+    label_tokens = ["Colorchecker", "Leerseite"]
+    type_tokens = ["cover_front", "cover_back"]
+    label_hit = F.exists(
+        F.array(*[F.lit(t) for t in label_tokens]),
+        lambda t: F.col("label").contains(t),
+    )
+    type_hit = F.exists(
+        F.col("log_types"),
+        lambda lt: F.exists(
+            F.array(*[F.lit(t) for t in type_tokens]), lambda t: lt.contains(t)
+        ),
+    )
+    return (
+        page_meta.filter(label_hit | type_hit)
+        .groupBy("doc_id")
+        .agg(F.collect_list("media_ref").alias("_blacklisted_refs"))
+    )
+
+
+def to_flat(docs: DataFrame) -> DataFrame:
+    """Explode to the flat per-span form for window/aggregate consumers."""
+    return docs.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
+
+
+def from_flat(flat: DataFrame) -> DataFrame:
+    """Regroup flat spans into the nested contract shape (one shuffle)."""
+    return flat.groupBy("doc_id").agg(
+        sorted_spans(
+            F.collect_list(
+                _span(F.col("kind"), F.col("text"), F.col("media_ref"), F.col("offset"))
+            )
+        ).alias("spans")
+    )
+
+
+def text_bundle(docs: DataFrame) -> DataFrame:
+    """S7: one text blob per document — surviving lines joined by newline,
+    plus the reference's ``n_text_lines`` statistic (A7)."""
+    text_spans = F.filter(F.col("spans"), lambda s: s["kind"] == "text")
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(text_spans, lambda s: s["text"]), "\n"
+        ).alias("bundle"),
+        F.size(text_spans).cast("long").alias("n_text_lines"),
+    )
+
+
+def repartition_for_scale(docs: DataFrame, num_partitions: int) -> DataFrame:
+    """Range-repartition on doc_id — co-locates doc ranges for watermark
+    bookkeeping while spreading oversized docs across partitions."""
+    return docs.repartitionByRange(num_partitions, "doc_id")

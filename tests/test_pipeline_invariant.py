@@ -1,0 +1,75 @@
+"""Flagship invariant: Spark extraction == pure-Python oracle, span for span.
+
+The oracle re-states the reference's loops (ocr_files.py:52-163,
+ocr_pipeline.py:425-447) over the span model; the Spark plan must reproduce
+its output exactly: ``(kind, text, media_ref, order)`` per doc_id.
+"""
+
+from __future__ import annotations
+
+from ocrd_odem_spark import oracle
+from ocrd_odem_spark.plans import pipeline
+
+
+def _spark_result(df) -> dict[str, list[tuple]]:
+    rows = df.select("doc_id", "spans").collect()
+    return {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+        ]
+        for r in rows
+    }
+
+
+def _oracle_result(corpus, fn) -> dict[str, list[tuple]]:
+    return {
+        d["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in fn(d["spans"])
+        ]
+        for d in corpus
+    }
+
+
+def _assert_equal(actual: dict, expected: dict) -> None:
+    assert sorted(actual) == sorted(expected)
+    for doc_id in expected:
+        assert actual[doc_id] == expected[doc_id], (
+            f"span sequence mismatch for {doc_id}:\n"
+            f"  spark : {actual[doc_id][:8]} ...\n"
+            f"  oracle: {expected[doc_id][:8]} ..."
+        )
+
+
+def test_extract_matches_oracle(spark, corpus, docs_df):
+    actual = _spark_result(pipeline.extract(docs_df))
+    expected = _oracle_result(corpus, oracle.extract_document)
+    _assert_equal(actual, expected)
+
+
+def test_extract_dehyphenated_matches_oracle(spark, corpus, docs_df):
+    actual = _spark_result(pipeline.extract(docs_df, dehyphenate=True))
+    expected = _oracle_result(corpus, oracle.extract_document_dehyphenated)
+    _assert_equal(actual, expected)
+
+
+def test_extract_is_narrow(docs_df):
+    """The flagship plan must not shuffle the fact table."""
+    plan = pipeline.extract(docs_df, dehyphenate=True)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_output_offsets_dense(docs_df):
+    rows = pipeline.extract(docs_df).collect()
+    for r in rows:
+        offsets = [s["offset"] for s in r["spans"]]
+        assert offsets == list(range(len(offsets)))
+
+
+def test_flat_roundtrip(docs_df):
+    flat = pipeline.to_flat(docs_df)
+    back = pipeline.from_flat(flat)
+    orig = {r["doc_id"]: r["spans"] for r in docs_df.collect()}
+    rt = {r["doc_id"]: r["spans"] for r in back.collect()}
+    assert sorted(orig) == sorted(rt)
+    for k in orig:
+        assert sorted(orig[k], key=lambda s: s["offset"]) == list(rt[k])
