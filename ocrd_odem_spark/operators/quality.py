@@ -1,0 +1,144 @@
+"""Quality/estimation path operators (reference T5, A3, A4, A5).
+
+Reproduces the reference's ``textlines2data`` dataset construction
+(``lib/odem/ocr/ocr_pipeline.py:402-422``): per page, drop empty lines,
+de-hyphenate wraps, scrub characters (``_sanitize_chars``,
+``ocr_pipeline.py:450-467``), then split into dense (len > minlen) and
+sparse lines.  Estimation binning follows ``analyze``
+(``ocr_pipeline.py:663-682``): mean + 5 fixed-width bins of step 15 with the
+last bin clamping.
+
+Plan shape: per-page rows require one shuffle (groupBy doc_id, media_ref) —
+pages are naturally small groups, so this is skew-immune even for 1000-page
+documents (the book's pages spread over all partitions; this is the "salting
+by page" the scale rule asks for, for free).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..constants import BAD_CHARS_SANITIZE, LONG_S
+
+_WS_TOKENS = lambda s: F.filter(F.split(F.trim(s), r"\s+"), lambda x: x != "")  # noqa: E731
+
+
+def sanitize_line(line: Column) -> Column:
+    """T5: strip digits/quotes/brackets, collapse '..' and double spaces,
+    long-s -> s, drop 1-char tokens."""
+    text = F.translate(F.trim(line), BAD_CHARS_SANITIZE, "")
+    text = F.replace(text, F.lit(".."), F.lit(""))
+    text = F.replace(text, F.lit("  "), F.lit(" "))
+    text = F.replace(text, F.lit(LONG_S), F.lit("s"))
+    toks = F.filter(_WS_TOKENS(text), lambda t: F.length(t) > 1)
+    return F.array_join(toks, " ")
+
+
+def dehyphenate_line_array(lines: Column) -> Column:
+    """Sequential wrap-merge fold over a plain line-text array (one page).
+
+    Same carried-state trick as ``dehyphen.dehyphenate_spans`` — see there
+    for why a fold (not a window) is required.  Returns
+    ``struct<out: array<string>, n_merges: int>``.
+    """
+    enriched = F.transform(
+        lines,
+        lambda l: F.struct(
+            l.alias("text"),
+            F.get(_WS_TOKENS(l), 0).alias("first_tok"),
+            F.array_join(
+                F.slice(
+                    _WS_TOKENS(l), 2, F.greatest(F.size(_WS_TOKENS(l)) - 1, F.lit(0))
+                ),
+                " ",
+            ).alias("rest"),
+        ),
+    )
+    n = F.size(enriched)
+    successors = F.concat(
+        F.slice(enriched, 2, F.greatest(n - 1, F.lit(0))),
+        F.array(F.lit(None).cast("struct<text:string,first_tok:string,rest:string>")),
+    )
+    pairs = F.filter(
+        F.zip_with(enriched, successors, lambda c, x: F.struct(c.alias("cur"), x.alias("nxt"))),
+        lambda p: p["cur"].isNotNull(),
+    )
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(False).alias("took"),
+        F.lit(0).alias("n_merges"),
+    )
+
+    def step(acc, p):
+        eff = F.when(acc["took"], p["cur"]["rest"]).otherwise(p["cur"]["text"])
+        merge_scope = p["nxt"].isNotNull() & F.endswith(eff, F.lit("-"))
+        merged = F.concat(F.substr(eff, F.lit(1), F.length(eff) - 1), p["nxt"]["first_tok"])
+        return (
+            F.when(
+                merge_scope & (F.trim(p["nxt"]["text"]) == ""),
+                F.struct(acc["out"].alias("out"), F.lit(False).alias("took"), acc["n_merges"].alias("n_merges")),
+            )
+            .when(
+                merge_scope,
+                F.struct(
+                    F.concat(acc["out"], F.array(merged)).alias("out"),
+                    F.lit(True).alias("took"),
+                    (acc["n_merges"] + 1).alias("n_merges"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.concat(acc["out"], F.array(eff)).alias("out"),
+                    F.lit(False).alias("took"),
+                    acc["n_merges"].alias("n_merges"),
+                )
+            )
+        )
+
+    return F.aggregate(
+        pairs, init, step,
+        lambda acc: F.struct(acc["out"].alias("out"), acc["n_merges"].alias("n_merges")),
+    )
+
+
+def page_text_stats(docs: DataFrame, minlen: int = 2) -> DataFrame:
+    """A3/A4 dataset: one row per page with the reference's
+    ``(file_string, n_lines, n_normalized, n_sparse, n_dense)`` tuple.
+
+    Input: nested (doc_id, spans).  One shuffle (page regroup); everything
+    else is narrow HOF work on small per-page arrays.
+    """
+    flat = docs.select("doc_id", F.explode("spans").alias("s")).where(
+        F.col("s.kind") == "text"
+    )
+    pages = flat.groupBy("doc_id", F.col("s.media_ref").alias("media_ref")).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("s.offset").alias("o"), F.col("s.text").alias("t"))),
+            lambda a, b: F.when(a["o"] < b["o"], -1).when(a["o"] > b["o"], 1).otherwise(0),
+        ).alias("ordered")
+    )
+    lines = F.transform(F.col("ordered"), lambda x: x["t"])
+    non_empty = F.filter(lines, lambda l: F.length(l) > 0)
+    folded = dehyphenate_line_array(non_empty)
+    sanitized = F.transform(folded["out"], sanitize_line)
+    dense = F.filter(sanitized, lambda l: F.length(l) > minlen)
+    return pages.select(
+        "doc_id",
+        "media_ref",
+        F.array_join(dense, " ").alias("file_string"),
+        F.size(lines).cast("long").alias("n_lines"),
+        folded["n_merges"].cast("long").alias("n_normalized"),
+        (F.size(sanitized) - F.size(dense)).cast("long").alias("n_sparse"),
+        F.size(dense).cast("long").alias("n_dense"),
+    )
+
+
+def estimation_bins(scores: DataFrame, score_col: str = "score",
+                    bins: int = 5, step: int = 15) -> DataFrame:
+    """A5: fixed-width binning with last-bin clamp; one row per bin."""
+    binned = scores.select(
+        F.least(
+            F.floor(F.col(score_col) / step).cast("int"), F.lit(bins - 1)
+        ).alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count("*").cast("long").alias("n"))

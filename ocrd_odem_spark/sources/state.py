@@ -1,0 +1,144 @@
+"""Per-partition watermark checkpointing with exact resume (S1/S9).
+
+The reference engine's record state machine (``n.a. -> ocr_busy ->
+ocr_done/fail/skip``, ``lib/odem/commons.py:21-26``; claim/save at
+``cli_record_local.py:108-122,182``) becomes a partition-state table: the
+corpus is bucketed on ``xxhash64(doc_id)``, each bucket is processed
+idempotently, and a bucket's output commit + state append are ordered so a
+crash anywhere yields either "bucket fully visible and marked done" or
+"bucket re-processed from scratch on resume" — never duplicates.
+
+On a real deployment both tables are Iceberg and the state commit is a
+``MERGE INTO`` with snapshot atomicity; this sandbox implementation uses
+parquet directories with atomic directory renames as the stand-in, keeping
+the identical protocol:
+
+    1. pending = all buckets  ANTI JOIN  state(done)      -- partition prune
+    2. stage output for pending buckets (staging dir / Iceberg snapshot)
+    3. per bucket: publish output (rename / commit), then append state row
+       with lineage metrics (n_docs, n_spans_out, run_id)
+
+Re-running a completed workload is a no-op; re-running after a mid-write
+crash recomputes only unpublished buckets.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..constants import MARK_DONE
+
+
+class StateStore:
+    """Parquet-backed watermark/state table (Iceberg MERGE stand-in)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def done_buckets(self, spark: SparkSession) -> list[int]:
+        files = [f for f in os.listdir(self.path) if f.endswith(".parquet")]
+        if not files:
+            return []
+        df = spark.read.parquet(self.path)
+        return [
+            r["bucket"]
+            for r in df.where(F.col("state") == MARK_DONE).select("bucket").distinct().collect()
+        ]
+
+    def mark_done(self, spark: SparkSession, rows: list[dict], run_id: str) -> None:
+        """Append one done-record per bucket (atomic single-file write)."""
+        df = spark.createDataFrame(
+            [
+                {
+                    "bucket": int(r["bucket"]),
+                    "state": MARK_DONE,
+                    "n_docs": int(r["n_docs"]),
+                    "n_spans_out": int(r["n_spans_out"]),
+                    "run_id": run_id,
+                }
+                for r in rows
+            ],
+            "bucket int, state string, n_docs long, n_spans_out long, run_id string",
+        )
+        tmp = os.path.join(os.path.dirname(self.path), f"_state_tmp_{uuid.uuid4().hex}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for name in os.listdir(tmp):
+            if name.endswith(".parquet"):
+                shutil.move(
+                    os.path.join(tmp, name),
+                    os.path.join(self.path, f"{run_id}_{uuid.uuid4().hex}.parquet"),
+                )
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def metrics(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+
+def run_with_checkpoint(
+    spark: SparkSession,
+    docs: DataFrame,
+    transform,
+    output_path: str,
+    state_path: str,
+    n_buckets: int = 64,
+    fail_after_buckets: int | None = None,
+) -> dict:
+    """Process ``docs`` through ``transform`` with exact-resume semantics.
+
+    ``transform``: (DataFrame of (doc_id, spans)) -> same shape.
+    ``fail_after_buckets``: test hook — publish only that many buckets and
+    stop (simulates a mid-run crash after partial commit).
+
+    Returns {"published": int, "skipped": int, "run_id": str}.
+    """
+    run_id = uuid.uuid4().hex[:12]
+    store = StateStore(state_path)
+    os.makedirs(output_path, exist_ok=True)
+
+    bucket = F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    done = store.done_buckets(spark)
+    pending_docs = docs.withColumn("_bucket", bucket)
+    if done:
+        pending_docs = pending_docs.where(~F.col("_bucket").isin(done))
+
+    out = transform(pending_docs.select("doc_id", "spans")).withColumn(
+        "_bucket", bucket
+    )
+
+    staging = os.path.join(output_path, f"_staging_{run_id}")
+    out.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
+
+    published = []
+    for name in sorted(os.listdir(staging)):
+        if not name.startswith("_bucket="):
+            continue
+        b = int(name.split("=", 1)[1])
+        src = os.path.join(staging, name)
+        dst = os.path.join(output_path, name)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)  # idempotent re-publish after crash
+        shutil.move(src, dst)
+        stats = spark.read.parquet(dst).select(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("n_spans"),
+        ).collect()[0]
+        store.mark_done(
+            spark,
+            [{"bucket": b, "n_docs": stats["n_docs"], "n_spans_out": stats["n_spans"]}],
+            run_id,
+        )
+        published.append(b)
+        if fail_after_buckets is not None and len(published) >= fail_after_buckets:
+            shutil.rmtree(staging, ignore_errors=True)
+            return {"published": len(published), "skipped": len(done), "run_id": run_id}
+    shutil.rmtree(staging, ignore_errors=True)
+    return {"published": len(published), "skipped": len(done), "run_id": run_id}
+
+
+def read_output(spark: SparkSession, output_path: str) -> DataFrame:
+    return spark.read.parquet(output_path).select("doc_id", "spans")

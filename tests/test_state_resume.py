@@ -1,0 +1,62 @@
+"""Exact-resume protocol: crash mid-run -> rerun -> identical output, no dupes."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ocrd_odem_spark.plans import pipeline
+from ocrd_odem_spark.sources import state
+
+
+def _transform(df):
+    return pipeline.extract(df, dehyphenate=True)
+
+
+def test_crash_resume_no_dupes(spark, docs_df, corpus):
+    with tempfile.TemporaryDirectory() as tmp:
+        out_dir = f"{tmp}/out"
+        st_dir = f"{tmp}/state"
+
+        # crash after publishing 3 of 16 buckets
+        r1 = state.run_with_checkpoint(
+            spark, docs_df, _transform, out_dir, st_dir,
+            n_buckets=16, fail_after_buckets=3,
+        )
+        assert r1["published"] == 3
+
+        # resume: remaining buckets processed, completed ones skipped
+        r2 = state.run_with_checkpoint(
+            spark, docs_df, _transform, out_dir, st_dir, n_buckets=16
+        )
+        assert r2["skipped"] == 3
+        assert r1["published"] + r2["published"] >= 16 - 3
+
+        out = state.read_output(spark, out_dir)
+        ids = [r["doc_id"] for r in out.select("doc_id").collect()]
+        assert sorted(ids) == sorted(d["doc_id"] for d in corpus), "dupes or losses"
+
+        # third run is a complete no-op
+        r3 = state.run_with_checkpoint(
+            spark, docs_df, _transform, out_dir, st_dir, n_buckets=16
+        )
+        assert r3["published"] == 0
+
+        # output equals a direct single-shot run
+        direct = {
+            r["doc_id"]: [tuple(s) for s in r["spans"]]
+            for r in _transform(docs_df).collect()
+        }
+        resumed = {
+            r["doc_id"]: [tuple(s) for s in r["spans"]]
+            for r in out.collect()
+        }
+        assert direct == resumed
+
+        # lineage metrics cover every bucket with plausible counts
+        metrics = state.StateStore(st_dir).metrics(spark)
+        agg = metrics.agg(
+            F.sum("n_docs").alias("docs"), F.countDistinct("bucket").alias("buckets")
+        ).collect()[0]
+        assert agg["docs"] == len(corpus)
