@@ -1,0 +1,209 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, all shuffle-frugal and expressed through native Spark
+functions (JVM-side; Python only builds the plan):
+
+* **exact**        — md5 grouping, canonical keeper = min(id).
+* **MinHash+LSH**  — token-shingle -> per-seed min of ``xxhash64`` ->
+  banding -> bucket equi-join of candidates.  The signature computation is
+  a narrow higher-order expression (no shuffle); only the tiny
+  (band, bucket) exchange shuffles, never full documents.
+* **SimHash**      — 64-bit sign-aggregated token hashes; near-dup =
+  Hamming distance via ``bit_count(xor)``.
+* **n-gram Jaccard** — verification metric on candidate pairs
+  (``array_intersect``/``array_union`` on shingle sets).
+
+At 10^12 documents: signatures are ~100 bytes/doc, so the LSH exchange is
+4-5 orders of magnitude smaller than the corpus; bucket skew (boilerplate
+duplicates) is bounded by capping bucket width (``max_bucket``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def token_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles of a whitespace-tokenised text."""
+    toks = F.split(text, " ")
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """num_hashes-wide MinHash signature (per-seed min of xxhash64)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(seed, s))
+        ),
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(text_hash, n_docs, keep_id, dup_ids) for every duplicated text."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("all_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash.
+
+    rows-per-band = num_hashes // bands.  ``max_bucket`` caps pathological
+    buckets (mass boilerplate) so the within-bucket join stays bounded.
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(token_shingles(F.col(text_col), shingle_k), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.array_join(
+                        F.transform(F.slice("sig", b * rows + 1, rows),
+                                    lambda v: v.cast("string")), "_"
+                    )).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    bounded = banded.groupBy("band", "bucket").agg(
+        F.slice(F.sort_array(F.collect_list("id")), 1, max_bucket).alias("ids")
+    ).where(F.size("ids") > 1)
+    pairs = bounded.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda a: F.transform(
+                            "ids", lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))
+                        ),
+                    )
+                ),
+                lambda p: p["id_a"] < p["id_b"],
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b").distinct()
+    return pairs
+
+
+def jaccard_verify(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """True n-gram Jaccard on candidate pairs; keeps pairs >= threshold."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        token_shingles(F.col(text_col), shingle_k).alias("sh"),
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash of whitespace tokens (sign-aggregated bit votes)."""
+    toks = F.array_distinct(F.split(text, " "))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(63)),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda votes, h: votes
+                + F.when(
+                    F.call_function("shiftright", h, b.cast("int")).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
+            )
+            > 0,
+            F.call_function("shiftleft", F.lit(1).cast("long"), b.cast("int")),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    block_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Scale path: pigeonhole blocking — split the 64-bit hash into
+    64/block_bits blocks; any pair within distance d <= blocks-1 shares at
+    least one exact block, so candidates come from equi-joins on block
+    values instead of a cross join.
+    """
+    n_blocks = 64 // block_bits
+    sim = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    blocked = sim.select(
+        "id",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+                lambda i: F.struct(
+                    i.alias("block"),
+                    F.call_function("shiftright", F.col("sh"), (i * block_bits).cast("int"))
+                    .bitwiseAND(F.lit((1 << block_bits) - 1))
+                    .alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "sh", "bk.block", "bk.key")
+    left = blocked.alias("l")
+    right = blocked.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= max_hamming)

@@ -375,6 +375,182 @@ _Q24 = """SELECT doc_id,
 FROM documents"""
 
 
+# ---------------------------------------------------------------------------
+# q25/q26 — portable MinHash + LSH candidate pairs (md5-min variant; the
+# package's production tier uses xxhash64, tested in pytest)
+# ---------------------------------------------------------------------------
+
+_N_SEEDS = 8
+
+
+def _q25_cte(dialect: str) -> str:
+    d = derive.dialect(dialect)
+    toks = d["split"]("text", " ")
+    if dialect == SPARK:
+        shingles = (
+            f"array_distinct(transform(sequence(0, greatest(size(tk) - 2, 1) - 1), "
+            f"i -> array_join(slice(tk, i + 1, 3), ' ')))"
+        )
+        minhash = (
+            "array_min(transform(sh, s -> substr(md5(concat('{seed}|', s)), 1, 16)))"
+        )
+    else:
+        shingles = (
+            f"list_distinct(list_transform(range(0, greatest(len(tk) - 2, 1)), "
+            f"i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')))"
+        )
+        minhash = (
+            "list_min(list_transform(sh, s -> substr(md5(concat('{seed}|', s)), 1, 16)))"
+        )
+    sig_cols = ",\n         ".join(
+        minhash.replace("{seed}", str(seed)) + f" AS s{seed}" for seed in range(_N_SEEDS)
+    )
+    return f"""_mh_tok AS (
+  SELECT doc_id, {toks} AS tk FROM documents
+),
+_mh_sh AS (
+  SELECT doc_id, {shingles} AS sh FROM _mh_tok
+),
+_mh_sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM _mh_sh
+)"""
+
+
+def _q25(dialect: str) -> str:
+    cols = ", ".join(f"s{i}" for i in range(_N_SEEDS))
+    return f"WITH {_q25_cte(dialect)} SELECT doc_id, {cols} FROM _mh_sig"
+
+
+def _q26(dialect: str) -> str:
+    """LSH candidates: docs sharing any single minhash value (8 bands of 1)."""
+    shared = " + ".join(
+        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(_N_SEEDS)
+    )
+    return f"""WITH {_q25_cte(dialect)}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       cast({shared} AS bigint) AS n_shared_bands
+FROM _mh_sig a JOIN _mh_sig b ON a.doc_id < b.doc_id
+WHERE {" OR ".join(f"a.s{i} = b.s{i}" for i in range(_N_SEEDS))}"""
+
+
+# ---------------------------------------------------------------------------
+# q27 — brute-force cosine top-k over embeddings (package code vs list ops)
+# ---------------------------------------------------------------------------
+
+
+def q27_spark(spark, sf_dir):
+    from ..functions.similarity import cosine_topk
+
+    load_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    qs = emb.where(F.col("vec_id") < 10)
+    return cosine_topk(emb, qs, k=3)
+
+
+Q27_ORACLE = """WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(
+           list_dot_product(c.embedding::DOUBLE[], q.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))),
+           6) AS sim
+  FROM embeddings c, embeddings q
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, cast(rank AS int) AS rank
+FROM ranked WHERE rank <= 3"""
+
+
+# ---------------------------------------------------------------------------
+# q28 — document curation profile (package code vs portable SQL)
+# ---------------------------------------------------------------------------
+
+
+def q28_spark(spark, sf_dir):
+    from ..functions.textstats import document_profile
+
+    load_views(spark, sf_dir)
+    return document_profile(spark.table("documents"))
+
+
+def _q28_oracle() -> str:
+    from ..constants import ODEM_PUNCTUATIONS
+    from ..functions.textstats import _BPE_RE, _STOPWORDS
+
+    punct = derive.sql_str(ODEM_PUNCTUATIONS, DUCKDB)
+    punct_sp = derive.sql_str(ODEM_PUNCTUATIONS + " ", DUCKDB)
+    bpe = derive.sql_str(_BPE_RE, DUCKDB)
+    count = (
+        lambda w: f"cast((length(' ' || text || ' ') - "
+        f"length(replace(' ' || text || ' ', ' {w} ', ''))) / {len(w) + 2} AS bigint)"
+    )
+    scores = {
+        lang: " + ".join(count(w) for w in words) for lang, words in _STOPWORDS.items()
+    }
+    # same argmax loop as textstats.predict_language: strictly-greater, sorted langs
+    pred = "'und'"
+    best = "cast(0 AS bigint)"
+    for lang in sorted(_STOPWORDS):
+        s = f"({scores[lang]})"
+        pred = f"CASE WHEN {s} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN {s} > {best} THEN {s} ELSE {best} END"
+    return f"""WITH base AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars,
+         len(list_filter(string_split(trim(text), ' '), t -> t <> '')) AS n_tokens,
+         length(replace(text, ' ', '')) AS n_packed,
+         length(replace(text, ' ', ''))
+           - length(translate(replace(text, ' ', ''), {punct}, '')) AS n_punct,
+         length(replace(text, ' ', ''))
+           - length(translate(replace(text, ' ', ''), '0123456789', '')) AS n_digit
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, text,
+         cast(n_chars AS bigint) AS n_chars,
+         cast(n_tokens AS bigint) AS n_tokens,
+         cast(len(regexp_extract_all(text, {bpe})) AS bigint) AS n_subwords,
+         round(cast(n_packed AS double) / greatest(n_tokens, 1), 4) AS mean_token_len,
+         round(cast(n_punct AS double) / greatest(n_packed, 1), 4) AS punct_ratio,
+         round(cast(n_digit AS double) / greatest(n_packed, 1), 4) AS digit_ratio
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens, n_subwords, mean_token_len, punct_ratio,
+       digit_ratio,
+       {pred} AS lang_pred,
+       round(greatest(cast(0 AS double),
+             least(cast(1 AS double), cast(n_tokens AS double) / 100)
+             * (cast(1 AS double) - punct_ratio - digit_ratio)), 4) AS quality,
+       md5(translate(lower(text), {punct_sp}, '')) AS fingerprint
+FROM feat"""
+
+
+def q29_simhash_spark(spark, sf_dir):
+    """SimHash near-dup pairs (xxhash64 — no portable oracle, rows-only)."""
+    from ..functions.dedup import simhash_near_duplicates
+
+    load_views(spark, sf_dir)
+    return simhash_near_duplicates(
+        spark.table("documents"), max_hamming=12, block_bits=16
+    )
+
+
+def q30_lsh_ann_spark(spark, sf_dir):
+    """Bucketed ANN top-k (plane signs — no portable oracle, rows-only)."""
+    from ..functions.similarity import lsh_cosine_topk
+
+    load_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return lsh_cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=3)
+
+
 def _named_sql(template: str) -> tuple[Callable, str]:
     spark_sql = template.replace("{STR}", "string")
     duck_sql = template.replace("{STR}", "varchar")
@@ -414,6 +590,12 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "q21_token_count": _q21,
         "q22_lang_id": _q22,
         "q23_quality_score": _q23,
+        "q25_minhash_signature": _q25,
+        "q26_lsh_candidate_pairs": _q26,
     }.items():
         reg[name] = (_sql(builder(SPARK)), builder(DUCKDB))
+    reg["q27_knn_cosine"] = (q27_spark, Q27_ORACLE)
+    reg["q28_document_profile"] = (q28_spark, _q28_oracle())
+    reg["q29_simhash_neardup"] = (q29_simhash_spark, None)
+    reg["q30_lsh_ann_topk"] = (q30_lsh_ann_spark, None)
     return {name: (fn, _duck(sql)) for name, (fn, sql) in reg.items()}

@@ -23,6 +23,15 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    # Python workers resolve imports from PYTHONPATH, not the driver's
+    # sys.path — make the engine importable on executors regardless of cwd
+    # (cluster deployments ship the package via spark-submit --py-files).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")

@@ -1,0 +1,142 @@
+"""Dedup / similarity / textstats / multimodal behaviour tests."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ocrd_odem_spark.functions import dedup, multimodal, similarity, textstats
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+    (3, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+    (4, "completely different content about spark query engines at scale"),
+    (5, "der schnelle braune fuchs springt über den faulen hund und der der"),
+    (6, "le renard brun rapide saute par dessus le chien paresseux et le la les"),
+]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    rows = dedup.exact_duplicates(_docs_df(spark)).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_docs"] == 2
+    assert rows[0]["keep_id"] == 1
+    assert rows[0]["all_ids"] == [1, 2]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = dedup.minhash_lsh_candidates(_docs_df(spark), bands=16, num_hashes=64)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # identical
+    assert (1, 3) in got or (2, 3) in got  # one-token diff
+    assert not any({a, b} == {4, 5} for a, b in got)
+
+
+def test_jaccard_verify(spark):
+    df = _docs_df(spark)
+    cand = dedup.minhash_lsh_candidates(df, bands=16, num_hashes=64)
+    verified = dedup.jaccard_verify(df, cand, threshold=0.5).collect()
+    by_pair = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified}
+    assert by_pair[(1, 2)] == 1.0
+    for (a, b), j in by_pair.items():
+        assert j >= 0.5
+
+
+def test_simhash_near_duplicates(spark):
+    rows = dedup.simhash_near_duplicates(
+        _docs_df(spark), max_hamming=8, block_bits=16
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) in got or (2, 3) in got
+
+
+def test_cosine_topk_exact(spark, request):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(4)
+    out = similarity.cosine_topk(emb, queries, k=3).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q) == 4
+    for q, rows in by_q.items():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3]
+        sims = [r["sim"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != q for r in rows)
+
+    # python cross-check of rank-1 neighbour for one query
+    rows = emb.collect()
+    vecs = {r["vec_id"]: r["embedding"] for r in rows}
+    q0 = sorted(by_q)[0]
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+    best = max(
+        ((vid, round(cos(v, vecs[q0]), 6)) for vid, v in vecs.items() if vid != q0),
+        key=lambda kv: (kv[1], -kv[0]),
+    )
+    got1 = next(r for r in by_q[q0] if r["rank"] == 1)
+    assert got1["neighbor_id"] == best[0] and abs(got1["sim"] - best[1]) < 1e-6
+
+
+def test_lsh_topk_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(8)
+    exact = similarity.cosine_topk(emb, queries, k=1).collect()
+    approx = similarity.lsh_cosine_topk(emb, queries, k=1, n_planes=4).collect()
+    exact1 = {r["query_id"]: r["neighbor_id"] for r in exact}
+    approx1 = {r["query_id"]: r["neighbor_id"] for r in approx}
+    hits = sum(1 for q, n in approx1.items() if exact1.get(q) == n)
+    assert len(approx1) >= 4  # buckets may drop some queries
+    assert hits >= len(approx1) // 2  # coarse recall sanity
+
+
+def test_textstats_profile(spark):
+    df = _docs_df(spark)
+    prof = {r["doc_id"]: r for r in textstats.document_profile(df).collect()}
+    assert prof[1]["lang_pred"] == "en"
+    assert prof[5]["lang_pred"] == "de"
+    assert prof[6]["lang_pred"] == "fr"
+    assert prof[1]["fingerprint"] == prof[2]["fingerprint"]
+    assert prof[1]["fingerprint"] != prof[4]["fingerprint"]
+    assert prof[1]["n_tokens"] == 12
+    assert 0.0 <= prof[1]["quality"] <= 1.0
+    # subword counting splits punctuation and digits apart
+    one = spark.createDataFrame([(9, "ab12cd, x!")], "doc_id long, text string")
+    r = textstats.document_profile(one).collect()[0]
+    assert r["n_subwords"] == 6  # ab / 12 / cd / , / x / !
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        ("m1", "d1", "00000001", "image/jpeg", bytearray(b"\xff\xd8fakejpegdata0123"),
+         {"width": 2000, "height": 3000, "dpi": 300, "n_bytes": 1048576, "duration_ms": None}),
+        ("m2", "d1", "00000002", "image/png", None,
+         {"width": 100, "height": 100, "dpi": None, "n_bytes": 2048, "duration_ms": None}),
+        ("m3", "d2", "00000001", "video/mp4", bytearray(b"vid"),
+         {"width": 1920, "height": 1080, "dpi": None, "n_bytes": 9999999, "duration_ms": 3500}),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+    stats = {r["doc_id"]: r for r in multimodal.media_stats(media).collect()}
+    assert stats["d1"]["n_media"] == 2
+    assert abs(stats["d1"]["mps"] - 6.01) < 0.01
+
+    feats = {r["media_id"]: r for r in multimodal.extract_image_features(
+        media, fake_decoder=True).collect()}
+    assert feats["m1"]["decode_error"] is None and len(feats["m1"]["feat"]) == 4
+    assert feats["m2"]["decode_error"] is not None  # empty payload -> error channel
+
+    # stub without fake decoder: errors, never task failure
+    stub = multimodal.extract_image_features(media, fake_decoder=False).collect()
+    assert all(r["decode_error"] for r in stub)
+
+    frames = multimodal.frame_sample_plan(media).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000]

@@ -1,0 +1,98 @@
+"""Linking joins J1-J5 + T11 identifier resolution + J4 model config."""
+
+from __future__ import annotations
+
+from ocrd_odem_spark.operators import linking
+from ocrd_odem_spark.plans import pipeline
+
+
+def test_blacklist_counts(spark, page_meta_df, corpus):
+    """F3/F4 analogue of the reference's 13-of-21 golden: generated ~15%
+    of pages blacklisted; counts must match a python recount exactly."""
+    bl = pipeline.blacklisted_pages(page_meta_df).collect()
+    got = {r["doc_id"]: sorted(r["_blacklisted_refs"]) for r in bl}
+    rows = page_meta_df.collect()
+    want: dict[str, list[str]] = {}
+    for r in rows:
+        bad = any(t in (r["label"] or "") for t in ("Colorchecker", "Leerseite")) or any(
+            any(t in lt for t in ("cover_front", "cover_back")) for lt in r["log_types"]
+        )
+        if bad:
+            want.setdefault(r["doc_id"], []).append(r["media_ref"])
+    want = {k: sorted(v) for k, v in want.items()}
+    assert got == want
+    assert len(want) > 5  # non-trivial
+
+
+def test_relevance_filter(spark, doc_meta_df):
+    kept = linking  # noqa: F841 (module import sanity)
+    out = pipeline.relevance_filter(doc_meta_df).collect()
+    for r in out:
+        assert r["mets_type"] in ("monograph", "volume", "issue", "additional")
+        assert r["pica_type"][1] in "afFZB"
+    assert 0 < len(out) < doc_meta_df.count()
+
+
+def test_link_ocr_first_match_wins(spark):
+    ocr = spark.createDataFrame(
+        [("d1", "00000003"), ("d1", "00000009")], "doc_id string, ocr_stem string"
+    )
+    media = spark.createDataFrame(
+        [
+            ("d1", "A", "MAX/00000003.jpg"),
+            ("d1", "B", "MAX/00000003_dup.jpg"),  # also contains the stem
+            ("d1", "C", "MAX/00000007.jpg"),
+        ],
+        "doc_id string, media_ref string, href string",
+    )
+    rows = linking.link_ocr_to_media(ocr, media).collect()
+    assert len(rows) == 1  # 00000009 has no match
+    assert rows[0]["ocr_stem"] == "00000003"
+    assert rows[0]["media_ref"] == "A"  # first match wins
+
+
+def test_loss_set(spark):
+    cand = spark.createDataFrame(
+        [("d1", "p1"), ("d1", "p2"), ("d1", "p3")], "doc_id string, stem string"
+    )
+    res = spark.createDataFrame(
+        [("d1", "p2"), ("d1", "p4")], "doc_id string, stem string"
+    )
+    rows = {(r["stem"], r["side"]) for r in linking.loss_set(cand, res).collect()}
+    assert rows == {("p1", "no_result"), ("p3", "no_result"), ("p4", "no_candidate")}
+
+
+def test_resolve_identifier(spark, doc_meta_df):
+    rows = linking.resolve_identifier(doc_meta_df).collect()
+    for r in rows:
+        assert ":" not in r["record_identifier"]
+    urn_style = [r for r in rows if r["record_identifier"].startswith("urn+")]
+    ppn_style = [r for r in rows if r["record_identifier"].isdigit()]
+    assert len(ppn_style) == len(rows)  # gvk-ppn always present in generator
+
+
+def test_language_model_config(spark, doc_meta_df):
+    cfg = {"ger": "frk", "lat": "lat_ocr", "ara": "ara"}
+    rows = {r["doc_id"]: r["model_config"]
+            for r in linking.language_model_config(doc_meta_df, cfg).collect()}
+    meta = {r["doc_id"]: r["languages"] for r in doc_meta_df.collect()}
+    for doc_id, langs in meta.items():
+        parts = []
+        for lang in langs:
+            m = cfg.get(lang, "gt4hist")
+            if m not in parts:
+                parts.append(m)
+        assert rows[doc_id] == "+".join(parts)
+
+
+def test_missing_link_error_channel(spark):
+    pm = spark.createDataFrame(
+        [
+            ("d1", "00000001", "PHYS_0001", "[Seite 1]", ["chapter"]),
+            ("d1", "00000002", "PHYS_0002", "[Seite 2]", []),
+        ],
+        "doc_id string, media_ref string, phys_id string, label string, log_types array<string>",
+    )
+    rows = {r["phys_id"]: r["link_error"] for r in linking.pages_with_log_types(pm).collect()}
+    assert rows["PHYS_0001"] is None
+    assert "not linked" in rows["PHYS_0002"]
