@@ -133,6 +133,45 @@ def page_text_stats(docs: DataFrame, minlen: int = 2) -> DataFrame:
     )
 
 
+def estimate_page_quality(
+    page_stats: DataFrame, known_words: DataFrame | None = None
+) -> DataFrame:
+    """A4: per-page quality ratio ``(n_words - n_errs) / n_words * 100``
+    rounded to 3 (reference ``StepEstimateOCR.postprocess_response``,
+    ``ocr_pipeline.py:376-387``).
+
+    The reference counts errors via a LanguageTool HTTP call (external,
+    out of scope); the error signal here is dictionary-miss: tokens of the
+    sanitised page text not present in ``known_words`` (a broadcast
+    vocabulary dimension).  Without a vocabulary, tokens containing any
+    non-letter character count as errors — a deterministic stand-in that
+    keeps the ratio math and binning exactly reproducible.
+    """
+    toks = F.filter(F.split(F.col("file_string"), " "), lambda t: t != "")
+    exploded = page_stats.select(
+        "doc_id", "media_ref", F.size(toks).alias("n_words"),
+        F.explode_outer(toks).alias("tok"),
+    )
+    if known_words is not None:
+        vocab = known_words.select(F.col("word").alias("tok")).distinct()
+        marked = exploded.join(F.broadcast(vocab.withColumn("_known", F.lit(1))), "tok", "left")
+        is_err = F.col("_known").isNull() & F.col("tok").isNotNull()
+    else:
+        marked = exploded
+        is_err = F.col("tok").isNotNull() & ~F.col("tok").rlike(r"^[^\W\d_]+$")
+    agg = marked.groupBy("doc_id", "media_ref", "n_words").agg(
+        F.sum(F.when(is_err, 1).otherwise(0)).cast("long").alias("n_errs_raw")
+    )
+    n_errs = F.least(F.col("n_errs_raw"), F.col("n_words")).alias("n_errs")
+    ratio = F.when(F.col("n_words") <= F.col("n_errs_raw"), F.lit(0.0)).otherwise(
+        F.round((F.col("n_words") - F.col("n_errs_raw")) / F.col("n_words") * 100, 3)
+    )
+    return agg.select(
+        "doc_id", "media_ref", F.col("n_words").cast("long").alias("n_words"),
+        n_errs, ratio.alias("quality_ratio"),
+    )
+
+
 def estimation_bins(scores: DataFrame, score_col: str = "score",
                     bins: int = 5, step: int = 15) -> DataFrame:
     """A5: fixed-width binning with last-bin clamp; one row per bin."""

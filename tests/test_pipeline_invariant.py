@@ -73,3 +73,20 @@ def test_flat_roundtrip(docs_df):
     assert sorted(orig) == sorted(rt)
     for k in orig:
         assert sorted(orig[k], key=lambda s: s["offset"]) == list(rt[k])
+
+
+def test_arrow_mode_equals_hof(spark, corpus, docs_df):
+    """Both execution modes produce identical span sequences."""
+    for dehyph in (False, True):
+        hof = _spark_result(pipeline.extract(docs_df, dehyphenate=dehyph))
+        arrow = _spark_result(
+            pipeline.extract(docs_df, dehyphenate=dehyph, mode="arrow")
+        )
+        _assert_equal(arrow, hof)
+
+
+def test_arrow_mode_rejects_joins(spark, docs_df, doc_meta_df):
+    import pytest
+
+    with pytest.raises(ValueError, match="arrow mode"):
+        pipeline.extract(docs_df, doc_meta=doc_meta_df, mode="arrow")
