@@ -66,6 +66,16 @@ def media_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def megapixel_histogram(media: DataFrame) -> DataFrame:
+    """A2's megapixel histogram (reference ``np.unique(return_counts=True)``
+    over rounded MPs, ``odem_process_impl.py:354-380``) as a groupBy."""
+    return (
+        media.select(F.round(megapixels(F.col("meta")), 1).alias("mps"))
+        .groupBy("mps")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
 def _decode_image_bytes(payload: bytes, fake: bool):
     """STUB: real deployment plugs PIL/libvips here."""
     if not fake:

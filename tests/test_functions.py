@@ -140,3 +140,17 @@ def test_multimodal_plumbing(spark):
 
     frames = multimodal.frame_sample_plan(media).collect()
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000]
+
+
+def test_megapixel_histogram(spark):
+    rows = [
+        ("m1", "d1", "1", "image/jpeg", None,
+         {"width": 2000, "height": 3000, "dpi": 300, "n_bytes": 10, "duration_ms": None}),
+        ("m2", "d1", "2", "image/jpeg", None,
+         {"width": 2000, "height": 3010, "dpi": 300, "n_bytes": 10, "duration_ms": None}),
+        ("m3", "d2", "1", "image/jpeg", None,
+         {"width": 1000, "height": 1000, "dpi": 300, "n_bytes": 10, "duration_ms": None}),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    hist = {r["mps"]: r["n"] for r in multimodal.megapixel_histogram(media).collect()}
+    assert hist == {6.0: 2, 1.0: 1}

@@ -90,3 +90,16 @@ def test_arrow_mode_rejects_joins(spark, docs_df, doc_meta_df):
 
     with pytest.raises(ValueError, match="arrow mode"):
         pipeline.extract(docs_df, doc_meta=doc_meta_df, mode="arrow")
+
+
+def test_seed_sweep_matches_oracle(spark):
+    """Different generator seeds (fresh feature mixes) all match the oracle."""
+    from ocrd_odem_spark import gen
+    from ocrd_odem_spark.schema import DOCS_SCHEMA
+
+    for seed in (1, 99, 2026):
+        corpus = gen.make_corpus(seed, 12)
+        df = spark.createDataFrame(corpus, DOCS_SCHEMA)
+        actual = _spark_result(pipeline.extract(df, dehyphenate=True))
+        expected = _oracle_result(corpus, oracle.extract_document_dehyphenated)
+        _assert_equal(actual, expected)
