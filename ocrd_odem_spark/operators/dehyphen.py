@@ -18,6 +18,14 @@ would pay an Arrow round-trip per document.
 Page boundaries (media spans / media_ref changes) terminate merge chains,
 matching the reference's per-page invocation (``textlines2data`` receives one
 page's lines).
+
+SCALE NOTE: the fold's array-append accumulator copies the output array each
+step — O(n²) per document.  Negligible for normal documents (<= a few
+hundred spans) but quadratic on oversized books (a 45k-span document takes
+minutes).  For 1000+-page documents use either (a) ``mode="arrow"``
+extraction (linear; the Python loop appends in O(1)) or (b)
+``operators.salting.salt_oversized`` to fold page-aligned chunks — both are
+proven byte-identical to this fold.
 """
 
 from __future__ import annotations

@@ -95,6 +95,36 @@ def salt_oversized(docs: DataFrame, max_spans: int = 512) -> DataFrame:
     return salted.where(F.size("spans") > 0).repartition("doc_id", "salt")
 
 
+#: separator for chunk-keyed doc ids (unit separator — cannot occur in ids)
+_SALT_SEP = chr(31)
+
+
+def extract_salted(
+    docs: DataFrame, max_spans: int = 512, dehyphenate: bool = False
+) -> DataFrame:
+    """Skew-proof extraction for corpora with oversized books: salt into
+    page-aligned chunks, run the narrow extract per chunk (bounded fold
+    cost), de-salt into ordered documents.  Byte-identical to plain
+    ``extract`` (see test_salting.py); costs one extra shuffle (the
+    regroup), so use it when document sizes are unbounded."""
+    from ..plans.pipeline import extract
+
+    salted = salt_oversized(docs, max_spans=max_spans)
+    keyed = salted.select(
+        F.concat("doc_id", F.lit(_SALT_SEP), F.col("salt").cast("string")).alias(
+            "doc_id"
+        ),
+        "spans",
+    )
+    out = extract(keyed, dehyphenate=dehyphenate)
+    resplit = out.select(
+        F.substring_index("doc_id", _SALT_SEP, 1).alias("doc_id"),
+        F.substring_index("doc_id", _SALT_SEP, -1).cast("int").alias("salt"),
+        "spans",
+    )
+    return unsalt(resplit)
+
+
 def unsalt(salted: DataFrame) -> DataFrame:
     """Reassemble (doc_id, salt, spans) chunks into ordered documents with
     dense offsets — the de-salt regroup before sequence assembly."""

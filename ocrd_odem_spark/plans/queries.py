@@ -532,6 +532,34 @@ SELECT doc_id, n_chars, n_tokens, n_subwords, mean_token_len, punct_ratio,
 FROM feat"""
 
 
+def q14_resume_antijoin_spark(spark, sf_dir):
+    """S1 claim semantics: pending work = universe ANTI JOIN claimed set.
+
+    Stand-in tables: customers not yet 'claimed' by an early order (the
+    exact plan shape of the watermark-resume anti-join in
+    ``sources/state.run_with_checkpoint``)."""
+    load_views(spark, sf_dir)
+    claimed = (
+        spark.table("orders")
+        .where(F.col("o_orderdate") < F.lit("1996-06-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return (
+        spark.table("customer")
+        .join(claimed, "c_custkey", "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+Q14_ORACLE = """SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate < TIMESTAMP '1996-06-01 00:00:00')"""
+
+
 def q31_events_rollup_spark(spark, sf_dir):
     """Windowed event aggregation (streaming surface, batch-equivalent)."""
     from ..streaming.ingest import events_rollup
@@ -639,6 +667,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     reg["q28_document_profile"] = (q28_spark, _q28_oracle())
     reg["q29_simhash_neardup"] = (q29_simhash_spark, None)
     reg["q30_lsh_ann_topk"] = (q30_lsh_ann_spark, None)
+    reg["q14_resume_antijoin"] = (q14_resume_antijoin_spark, Q14_ORACLE)
     reg["q31_events_rollup"] = (q31_events_rollup_spark, Q31_ORACLE)
     reg["q33_estimation_bins"] = (q33_estimation_bins_spark, Q33_ORACLE)
     return {name: (fn, _duck(sql)) for name, (fn, sql) in reg.items()}

@@ -55,3 +55,20 @@ def test_salted_extract_equals_unsalted(spark):
         for d in corpus
     }
     assert got == want
+
+
+def test_extract_salted_library_helper(spark):
+    corpus = gen.make_corpus(11, 5, oversized_every=5, oversized_pages=100)
+    docs = spark.createDataFrame(corpus, DOCS_SCHEMA)
+    got = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in salting.extract_salted(docs, max_spans=150, dehyphenate=True).collect()
+    }
+    want = {
+        d["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in oracle.extract_document_dehyphenated(d["spans"])
+        ]
+        for d in corpus
+    }
+    assert got == want
