@@ -159,6 +159,40 @@ def simhash64(text: Column) -> Column:
     )
 
 
+def simhash64_agg(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Vectorised SimHash: explode tokens once, hash with codegen'd
+    ``xxhash64``, aggregate 64 bit-vote sums per document.
+
+    Same result as ``simhash64`` (proven in tests) but every step is
+    whole-stage-codegen (the HOF form is interpreted per token*bit and ~10x
+    slower).  One shuffle (the per-doc aggregate) — at 10^12 docs the
+    shuffled rows are (id, 64 ints), not documents.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    ).select("id", F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(
+                F.call_function("shiftright", F.col("h"), F.lit(b).cast("int"))
+                .bitwiseAND(F.lit(1)) == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    sh = None
+    for b in range(64):
+        bit = F.when(
+            F.col(f"v{b}") > 0,
+            F.call_function("shiftleft", F.lit(1).cast("long"), F.lit(b).cast("int")),
+        ).otherwise(F.lit(0).cast("long"))
+        sh = bit if sh is None else sh + bit
+    return agg.select("id", sh.alias("sh"))
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -174,7 +208,7 @@ def simhash_near_duplicates(
     values instead of a cross join.
     """
     n_blocks = 64 // block_bits
-    sim = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    sim = simhash64_agg(df, text_col=text_col, id_col=id_col)
     blocked = sim.select(
         "id",
         "sh",

@@ -326,6 +326,22 @@ WHERE p.p_partkey IS NULL OR l.l_partkey IS NULL"""
 # q20+ — training-data pipeline ops over documents
 # ---------------------------------------------------------------------------
 
+_Q15 = """SELECT n.n_name,
+       cast(count(*) AS bigint) AS n_rich_suppliers,
+       round(avg(s.s_acctbal), 2) AS avg_bal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE s.s_suppkey IN (SELECT DISTINCT l_suppkey FROM lineitem WHERE l_quantity > 30)
+GROUP BY n.n_name
+HAVING count(*) > 2"""
+
+_Q16 = """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       cast(count(*) AS bigint) AS n_rows,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())"""
+
 _Q20 = """SELECT md5(text) AS text_hash,
        cast(count(*) AS bigint) AS n_docs,
        cast(min(doc_id) AS bigint) AS keep_doc_id
@@ -424,15 +440,15 @@ def _q25(dialect: str) -> str:
 
 
 def _q26(dialect: str) -> str:
-    """LSH candidates: docs sharing any single minhash value (8 bands of 1)."""
-    shared = " + ".join(
-        f"(CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END)" for i in range(_N_SEEDS)
-    )
+    """LSH candidates: docs sharing a 2-seed band (4 bands of 2) — the
+    banded equi-join, selective enough to stay small at scale."""
+    bands = [(f"a.s{2*i} = b.s{2*i} AND a.s{2*i+1} = b.s{2*i+1}") for i in range(4)]
+    shared = " + ".join(f"(CASE WHEN {b} THEN 1 ELSE 0 END)" for b in bands)
     return f"""WITH {_q25_cte(dialect)}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        cast({shared} AS bigint) AS n_shared_bands
 FROM _mh_sig a JOIN _mh_sig b ON a.doc_id < b.doc_id
-WHERE {" OR ".join(f"a.s{i} = b.s{i}" for i in range(_N_SEEDS))}"""
+WHERE {" OR ".join(f"({b})" for b in bands)}"""
 
 
 # ---------------------------------------------------------------------------
@@ -607,7 +623,7 @@ def q29_simhash_spark(spark, sf_dir):
 
     load_views(spark, sf_dir)
     return simhash_near_duplicates(
-        spark.table("documents"), max_hamming=8, block_bits=16
+        spark.table("documents"), max_hamming=4, block_bits=16
     )
 
 
@@ -650,6 +666,8 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "q11_top_revenue_join": _Q11,
         "q12_first_match_window": _Q12,
         "q13_symmetric_diff": _Q13,
+        "q15_having_semijoin": _Q15,
+        "q16_grouping_sets": _Q16,
         "q20_dedup_exact": _Q20,
         "q24_fingerprint": _Q24,
     }.items():

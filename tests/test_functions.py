@@ -154,3 +154,14 @@ def test_megapixel_histogram(spark):
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     hist = {r["mps"]: r["n"] for r in multimodal.megapixel_histogram(media).collect()}
     assert hist == {6.0: 2, 1.0: 1}
+
+
+def test_simhash_agg_equals_hof(spark):
+    df = _docs_df(spark)
+    hof = {r["doc_id"]: None for r in df.collect()}
+    from pyspark.sql import functions as F
+    a = df.select(F.col("doc_id").alias("id"), dedup.simhash64(F.col("text")).alias("sh"))
+    b = dedup.simhash64_agg(df)
+    ra = {r["id"]: r["sh"] for r in a.collect()}
+    rb = {r["id"]: r["sh"] for r in b.collect()}
+    assert ra == rb
