@@ -182,37 +182,52 @@ def extract_arrow(docs: DataFrame, dehyphenate: bool = False) -> DataFrame:
     """
     import pandas as pd
 
-    from .. import oracle
+    from ..oracle import dehyphenate_lines, postprocess_line_tokens
 
-    fn = (
-        oracle.extract_document_dehyphenated
-        if dehyphenate
-        else oracle.extract_document
-    )
+    def extract_rows(spans) -> list[tuple]:
+        """Fast path of the oracle loops over the Arrow-delivered span
+        dicts (no intermediate copies).  Semantics proven identical to the
+        oracle by the dual-mode equality tests."""
+        ordered = sorted(spans, key=lambda s: s["offset"])
+        out: list[tuple] = []
+        for s in ordered:
+            if s["kind"] == "media":
+                out.append(("media", s["text"], s["media_ref"]))
+                continue
+            toks = postprocess_line_tokens((s["text"] or "").split(" "))
+            if toks:
+                out.append(("text", " ".join(toks), s["media_ref"]))
+        if dehyphenate:
+            merged: list[tuple] = []
+            page_lines: list[str] = []
+            page_ref: str | None = None
+
+            def flush() -> None:
+                if page_lines:
+                    for text in dehyphenate_lines(page_lines)[0]:
+                        merged.append(("text", text, page_ref))
+                    page_lines.clear()
+
+            for row in out:
+                if row[0] == "media":
+                    flush()
+                    page_ref = row[2]
+                    merged.append(row)
+                else:
+                    if row[2] != page_ref:
+                        flush()
+                        page_ref = row[2]
+                    page_lines.append(row[1])
+            flush()
+            out = merged
+        return [(k, t, r, i) for i, (k, t, r) in enumerate(out)]
 
     def run(batches):
         for pdf in batches:
-            out = []
-            for rec in pdf.itertuples(index=False):
-                spans = [
-                    {
-                        "kind": s["kind"],
-                        "text": s["text"],
-                        "media_ref": s["media_ref"],
-                        "offset": s["offset"],
-                    }
-                    for s in rec.spans
-                ]
-                res = fn(spans)
-                out.append(
-                    (
-                        rec.doc_id,
-                        [
-                            (s["kind"], s["text"], s["media_ref"], s["offset"])
-                            for s in res
-                        ],
-                    )
-                )
+            out = [
+                (rec.doc_id, extract_rows(rec.spans))
+                for rec in pdf.itertuples(index=False)
+            ]
             yield pd.DataFrame(out, columns=["doc_id", "spans"])
 
     schema = (
