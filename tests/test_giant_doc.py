@@ -1,9 +1,9 @@
 """Oversized-document stress.
 
-arrow mode handles a 4000-page (~45k-span) book linearly; hof mode is
-exercised at 400 pages (its fold accumulator is O(n²) per doc — the scale
-paths for bigger books are arrow mode or salting, see
-operators/dehyphen.py and test_salting.py).
+Both modes handle a 4000-page (~45k-span) book: arrow via the linear
+Python loop, hof via the size-gated linear dehyphenation tier (the exact
+O(n²) fold only runs for small or chain-prone documents — see
+operators/dehyphen.py).
 """
 
 from __future__ import annotations
@@ -30,16 +30,23 @@ def _got(df, mode):
     ]
 
 
-def test_giant_doc_arrow_linear(spark):
+def test_giant_doc_both_modes_linear(spark):
     doc = gen.make_document(5, 0, n_pages=4000)
     assert len(doc["spans"]) > 30000
     df = spark.createDataFrame([doc], DOCS_SCHEMA)
-    t0 = time.time()
-    assert _got(df, "arrow") == _golden(doc)
-    assert time.time() - t0 < 120  # linear path: seconds, not minutes
+    golden = _golden(doc)
+    for mode in ("arrow", "hof"):
+        t0 = time.time()
+        assert _got(df, mode) == golden, mode
+        assert time.time() - t0 < 150, mode  # linear tiers: seconds, not minutes
 
 
-def test_big_doc_hof(spark):
+def test_big_chainy_doc_exact_fold(spark):
+    """A big doc WITH chain-prone lines falls back to the exact fold."""
     doc = gen.make_document(5, 1, n_pages=400)
+    # inject chain-prone single-token hyphen lines
+    for s in doc["spans"][:200]:
+        if s["kind"] == "text" and s["offset"] % 7 == 3:
+            s["text"] = "solo-"
     df = spark.createDataFrame([doc], DOCS_SCHEMA)
     assert _got(df, "hof") == _golden(doc)
