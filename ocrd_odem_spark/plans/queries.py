@@ -617,6 +617,66 @@ SELECT cast(least(cast(floor(quality_score * 100 / 15) AS int), 4) AS int) AS bi
 FROM q GROUP BY 1"""
 
 
+def q34_page_stats_spark(spark, sf_dir):
+    """A3/A4 quality-path dataset: textlines2data per page over RAW lines."""
+    from ..operators.quality import page_text_stats
+
+    return page_text_stats(docs_nested_df(spark, sf_dir))
+
+
+def _q34_oracle() -> str:
+    from ..constants import BAD_CHARS_SANITIZE
+
+    bad = derive.sql_str(BAD_CHARS_SANITIZE, DUCKDB)
+    sanitized = (
+        "coalesce(array_to_string(list_filter(string_split("
+        "replace(replace(replace(translate(trim(x), " + bad + ", ''),"
+        " '..', ''), '  ', ' '), 'ſ', 's'), ' '),"
+        " t -> t <> '' AND length(t) > 1), ' '), '')"
+    )
+    return f"""WITH RECURSIVE {derive.spans_cte(DUCKDB)},
+rawpages AS (
+  SELECT doc_id, media_ref,
+         coalesce(list(text ORDER BY "offset") FILTER (WHERE length(text) > 0),
+                  []::VARCHAR[]) AS ls,
+         cast(count(*) AS bigint) AS n_lines
+  FROM spans_input WHERE kind = 'text'
+  GROUP BY doc_id, media_ref
+),
+walk AS (
+  SELECT doc_id, media_ref, ls, n_lines, 0 AS i, FALSE AS took,
+         []::VARCHAR[] AS out, 0 AS n_m
+  FROM rawpages
+  UNION ALL
+  SELECT doc_id, media_ref, ls, n_lines, i + 1,
+         (i < len(ls) - 1 AND ends_with({_EFF}, '-')
+          AND trim(ls[i+2]) <> '') AS took,
+         CASE
+           WHEN i < len(ls) - 1 AND ends_with({_EFF}, '-')
+                AND trim(ls[i+2]) = '' THEN out
+           WHEN i < len(ls) - 1 AND ends_with({_EFF}, '-') THEN
+             list_append(out, substr({_EFF}, 1, length({_EFF}) - 1)
+                              || string_split(ls[i+2], ' ')[1])
+           ELSE list_append(out, {_EFF})
+         END AS out,
+         n_m + CASE WHEN i < len(ls) - 1 AND ends_with({_EFF}, '-')
+                         AND trim(ls[i+2]) <> '' THEN 1 ELSE 0 END AS n_m
+  FROM walk WHERE i < len(ls)
+),
+merged AS (
+  SELECT doc_id, media_ref, n_lines, n_m,
+         list_transform(out, x -> {sanitized}) AS sane
+  FROM walk WHERE i = len(ls)
+)
+SELECT doc_id, media_ref,
+       coalesce(array_to_string(list_filter(sane, l -> length(l) > 2), ' '), '') AS file_string,
+       n_lines,
+       cast(n_m AS bigint) AS n_normalized,
+       cast(len(sane) - len(list_filter(sane, l -> length(l) > 2)) AS bigint) AS n_sparse,
+       cast(len(list_filter(sane, l -> length(l) > 2)) AS bigint) AS n_dense
+FROM merged"""
+
+
 def q29_simhash_spark(spark, sf_dir):
     """SimHash near-dup pairs (xxhash64 — no portable oracle, rows-only)."""
     from ..functions.dedup import simhash_near_duplicates
@@ -688,4 +748,5 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     reg["q14_resume_antijoin"] = (q14_resume_antijoin_spark, Q14_ORACLE)
     reg["q31_events_rollup"] = (q31_events_rollup_spark, Q31_ORACLE)
     reg["q33_estimation_bins"] = (q33_estimation_bins_spark, Q33_ORACLE)
+    reg["q34_page_text_stats"] = (q34_page_stats_spark, _q34_oracle())
     return {name: (fn, _duck(sql)) for name, (fn, sql) in reg.items()}
