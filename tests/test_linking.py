@@ -96,3 +96,30 @@ def test_missing_link_error_channel(spark):
     rows = {r["phys_id"]: r["link_error"] for r in linking.pages_with_log_types(pm).collect()}
     assert rows["PHYS_0001"] is None
     assert "not linked" in rows["PHYS_0002"]
+
+
+def test_rtl_doc_via_doc_meta(spark):
+    """An 'ara'-language doc gets mark-strip + right-to-left line folding."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    docs = spark.createDataFrame(
+        [("d_rtl", [
+            {"kind": "media", "text": "", "media_ref": "00000001", "offset": 0},
+            {"kind": "text", "text": "‏alif baa jiim", "media_ref": "00000001", "offset": 1},
+        ]),
+         ("d_ltr", [
+            {"kind": "media", "text": "", "media_ref": "00000001", "offset": 0},
+            {"kind": "text", "text": "eins zwei drei", "media_ref": "00000001", "offset": 1},
+        ])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    doc_meta = spark.createDataFrame(
+        [("d_rtl", "monograph", "Aa", {"gvk-ppn": "1"}, ["ara"]),
+         ("d_ltr", "monograph", "Aa", {"gvk-ppn": "2"}, ["ger"])],
+        "doc_id string, mets_type string, pica_type string, "
+        "identifiers map<string,string>, languages array<string>",
+    )
+    out = {r["doc_id"]: [s["text"] for s in r["spans"] if s["kind"] == "text"]
+           for r in pipeline.extract(docs, doc_meta=doc_meta).collect()}
+    assert out["d_rtl"] == ["jiim baa alif"]  # folded right-to-left, mark stripped
+    assert out["d_ltr"] == ["eins zwei drei"]
