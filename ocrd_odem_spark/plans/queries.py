@@ -440,15 +440,23 @@ def _q25(dialect: str) -> str:
 
 
 def _q26(dialect: str) -> str:
-    """LSH candidates: docs sharing a 2-seed band (4 bands of 2) — the
-    banded equi-join, selective enough to stay small at scale."""
-    bands = [(f"a.s{2*i} = b.s{2*i} AND a.s{2*i+1} = b.s{2*i+1}") for i in range(4)]
-    shared = " + ".join(f"(CASE WHEN {b} THEN 1 ELSE 0 END)" for b in bands)
-    return f"""WITH {_q25_cte(dialect)}
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       cast({shared} AS bigint) AS n_shared_bands
-FROM _mh_sig a JOIN _mh_sig b ON a.doc_id < b.doc_id
-WHERE {" OR ".join(f"({b})" for b in bands)}"""
+    """LSH candidates: docs sharing a 2-seed band (4 bands of 2).
+
+    One equi-join per band UNIONed, then shared-band counting — an OR of
+    band equalities cannot hash-join and degenerates to a nested-loop
+    comparison of every pair (measured 11s vs ~2s at sf0.1)."""
+    joins = "\n  UNION ALL\n".join(
+        f"""  SELECT a.doc_id AS id_a, b.doc_id AS id_b, {i} AS band
+  FROM _mh_sig a JOIN _mh_sig b
+    ON a.s{2*i} = b.s{2*i} AND a.s{2*i+1} = b.s{2*i+1} AND a.doc_id < b.doc_id"""
+        for i in range(4)
+    )
+    return f"""WITH {_q25_cte(dialect)},
+_cand AS (
+{joins}
+)
+SELECT id_a, id_b, cast(count(DISTINCT band) AS bigint) AS n_shared_bands
+FROM _cand GROUP BY id_a, id_b"""
 
 
 # ---------------------------------------------------------------------------
