@@ -464,6 +464,42 @@ FROM _cand GROUP BY id_a, id_b"""
 # ---------------------------------------------------------------------------
 
 
+def q26_spark(spark, sf_dir):
+    """Band candidates over a MATERIALIZED signature table.
+
+    Spark inlines multiply-referenced CTEs, so the pure-SQL form recomputes
+    the minhash signatures once per join branch (8x); localCheckpoint
+    materializes them once — the DataFrame mirror of 'write the signature
+    table first' at production scale."""
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    load_views(spark, sf_dir)
+    sig = spark.sql(
+        f"WITH {_q25_cte(SPARK)} SELECT * FROM _mh_sig"
+    ).localCheckpoint(eager=True)
+    a, b = sig.alias("a"), sig.alias("b")
+    branches = []
+    for i in range(4):
+        cond = (
+            (F.col(f"a.s{2*i}") == F.col(f"b.s{2*i}"))
+            & (F.col(f"a.s{2*i+1}") == F.col(f"b.s{2*i+1}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        branches.append(
+            a.join(b, cond).select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.lit(i).alias("band"),
+            )
+        )
+    cand = reduce(DataFrame.unionByName, branches)
+    return cand.groupBy("id_a", "id_b").agg(
+        F.countDistinct("band").cast("bigint").alias("n_shared_bands")
+    )
+
+
 def q27_spark(spark, sf_dir):
     from ..functions.similarity import cosine_topk
 
@@ -746,9 +782,9 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "q22_lang_id": _q22,
         "q23_quality_score": _q23,
         "q25_minhash_signature": _q25,
-        "q26_lsh_candidate_pairs": _q26,
     }.items():
         reg[name] = (_sql(builder(SPARK)), builder(DUCKDB))
+    reg["q26_lsh_candidate_pairs"] = (q26_spark, _q26(DUCKDB))
     reg["q27_knn_cosine"] = (q27_spark, Q27_ORACLE)
     reg["q28_document_profile"] = (q28_spark, _q28_oracle())
     reg["q29_simhash_neardup"] = (q29_simhash_spark, None)
