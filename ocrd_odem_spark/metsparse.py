@@ -35,8 +35,13 @@ PAGE_META_OUT = (
 )
 
 
-def parse_mets(payload: bytes | str) -> dict:
-    """One METS document -> {'doc': {...}, 'pages': [...]} python dicts."""
+def parse_mets(payload: bytes | str, file_group: str = "MAX") -> dict:
+    """One METS document -> {'doc': {...}, 'pages': [...]} python dicts.
+
+    ``file_group``: USE attribute of the image fileGrp to link pages from
+    (reference default 'MAX', configurable to e.g. 'DEFAULT';
+    ``mets.py:24-25,252-255``).
+    """
     if isinstance(payload, str):
         payload = payload.encode("utf-8")
     root = ET.fromstring(payload)
@@ -46,6 +51,11 @@ def parse_mets(payload: bytes | str) -> dict:
     for ident in root.iter(f"{_MODS}identifier"):
         if ident.text:
             identifiers[ident.get("type", "unknown")] = ident.text.strip()
+    # recordInfo/recordIdentifier@source feeds the same map (the reference's
+    # identifier resolution prefers 'gvk-ppn' from here, mets.py:19,131-165)
+    for rec_id in root.iter(f"{_MODS}recordIdentifier"):
+        if rec_id.text and rec_id.get("source"):
+            identifiers.setdefault(rec_id.get("source"), rec_id.text.strip())
     languages = [
         el.text.strip()
         for el in root.iter(f"{_MODS}languageTerm")
@@ -67,10 +77,10 @@ def parse_mets(payload: bytes | str) -> dict:
                 if div.get("ID"):
                     log_types_by_id[div.get("ID")] = div.get("TYPE", "")
 
-    # --- J1: fileGrp USE=MAX file id -> href stem --------------------------
+    # --- J1: configured fileGrp file id -> href stem ------------------------
     href_by_file_id: dict[str, str] = {}
     for grp in root.iter(f"{_METS}fileGrp"):
-        if grp.get("USE") != "MAX":
+        if grp.get("USE") != file_group:
             continue
         for f in grp.iter(f"{_METS}file"):
             loc = f.find(f"{_METS}FLocat")
@@ -95,7 +105,9 @@ def parse_mets(payload: bytes | str) -> dict:
             if div.get("TYPE") != "page":
                 continue
             phys_id = div.get("ID", "")
-            label = div.get("ORDERLABEL") or div.get("LABEL") or ""
+            # LABEL takes priority over ORDERLABEL (reference
+            # _phys_container_for_id, mets.py:380-392)
+            label = div.get("LABEL") or div.get("ORDERLABEL") or ""
             stem = None
             for fptr in div.findall(f"{_METS}fptr"):
                 fid = fptr.get("FILEID", "")
@@ -126,7 +138,7 @@ def parse_mets(payload: bytes | str) -> dict:
     }
 
 
-def shred_mets(df, payload_col: str = "mets_xml"):
+def shred_mets(df, payload_col: str = "mets_xml", file_group: str = "MAX"):
     """(doc_id, mets_xml) -> (doc_meta_df, page_meta_df), error channels.
 
     Two Arrow-batched passes over the same input (Catalyst caches the scan;
@@ -139,7 +151,7 @@ def shred_mets(df, payload_col: str = "mets_xml"):
             rows = []
             for rec in pdf.itertuples(index=False):
                 try:
-                    parsed = parse_mets(getattr(rec, payload_col))
+                    parsed = parse_mets(getattr(rec, payload_col), file_group)
                     d = parsed["doc"]
                     rows.append(
                         (rec.doc_id, d["mets_type"], d["pica_type"],
@@ -158,7 +170,7 @@ def shred_mets(df, payload_col: str = "mets_xml"):
             rows = []
             for rec in pdf.itertuples(index=False):
                 try:
-                    for p in parse_mets(getattr(rec, payload_col))["pages"]:
+                    for p in parse_mets(getattr(rec, payload_col), file_group)["pages"]:
                         rows.append(
                             (rec.doc_id, p["media_ref"], p["phys_id"],
                              p["label"], p["log_types"], p["link_error"])

@@ -133,6 +133,22 @@ def page_text_stats(docs: DataFrame, minlen: int = 2) -> DataFrame:
     )
 
 
+def quality_ratio(n_words: Column, n_errs: Column) -> Column:
+    """A4 ratio math of ``StepEstimateOCR.postprocess_response``
+    (``ocr_pipeline.py:376-387``): errors clamp to the word count, a page
+    with at least as many errors as words scores 0, else
+    ``round((n_words - n_errs) / n_words * 100, 3)``.
+
+    Golden anchor: the reference's 500_gray00003 fixture (2636 words, 548
+    LanguageTool matches) scores 79.211
+    (``tests/test_odem_ocr_pipeline.py:620-643``).
+    """
+    errs = F.least(n_errs, n_words)
+    return F.when(n_words <= errs, F.lit(0.0)).otherwise(
+        F.round((n_words - errs) / n_words * 100, 3)
+    )
+
+
 def estimate_page_quality(
     page_stats: DataFrame, known_words: DataFrame | None = None
 ) -> DataFrame:
@@ -163,12 +179,10 @@ def estimate_page_quality(
         F.sum(F.when(is_err, 1).otherwise(0)).cast("long").alias("n_errs_raw")
     )
     n_errs = F.least(F.col("n_errs_raw"), F.col("n_words")).alias("n_errs")
-    ratio = F.when(F.col("n_words") <= F.col("n_errs_raw"), F.lit(0.0)).otherwise(
-        F.round((F.col("n_words") - F.col("n_errs_raw")) / F.col("n_words") * 100, 3)
-    )
     return agg.select(
         "doc_id", "media_ref", F.col("n_words").cast("long").alias("n_words"),
-        n_errs, ratio.alias("quality_ratio"),
+        n_errs,
+        quality_ratio(F.col("n_words"), F.col("n_errs_raw")).alias("quality_ratio"),
     )
 
 

@@ -57,6 +57,17 @@ def postprocess_line(line: Column) -> Column:
     return F.array_join(surviving_tokens(line), " ")
 
 
+def drop_blank_tokens(line: Column) -> Column:
+    """F7 exact analogue of ``StepPostprocessALTO``'s empty-content cascade
+    (``drop_empty_contents``, ``ocr_pipeline.py:533-555``): remove
+    whitespace-only tokens; a line with no surviving token becomes '' (the
+    span-level empty-line filter then drops it, mirroring the XML walk-up
+    that removes the emptied TextLine/TextBlock)."""
+    return F.array_join(
+        F.filter(F.split(line, " "), lambda t: F.trim(t) != ""), " "
+    )
+
+
 def reversed_line(line: Column) -> Column:
     """RTL reading order: tokens folded right-to-left (reference O3,
     ``ocr_model.py:60-69`` — ``reduce(lambda c, p: p + ' ' + c)``)."""

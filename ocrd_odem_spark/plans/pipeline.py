@@ -246,25 +246,33 @@ def relevance_filter(doc_meta: DataFrame) -> DataFrame:
     )
 
 
-def blacklisted_pages(page_meta: DataFrame) -> DataFrame:
-    """F3/F4: pages whose label or linked logical types hit a blacklist
-    (substring semantics, reference ``mets.py:269-270,417-420``)."""
-    label_tokens = ["Colorchecker", "Leerseite"]
-    type_tokens = ["cover_front", "cover_back"]
+def blacklisted_pages(
+    page_meta: DataFrame,
+    label_tokens: tuple[str, ...] = ("Colorchecker", "Leerseite"),
+    type_tokens: tuple[str, ...] = ("cover_front", "cover_back"),
+    ref_col: str = "media_ref",
+) -> DataFrame:
+    """F3/F4: pages whose label or linked logical types hit a blacklist.
+
+    Reference ``is_in`` (``mets.py:417-420``) is substring containment on
+    the page LABEL but exact membership on the logical-type *list* —
+    ``any(t in log_types)`` with a list operand (``mets.py:269-270``).
+
+    ``ref_col``: which page key to collect — ``media_ref`` (image stem; the
+    span fact table joins on it) or ``phys_id`` (always unique; IIIF-style
+    hrefs can collapse every page to the same basename stem).
+    """
     label_hit = F.exists(
         F.array(*[F.lit(t) for t in label_tokens]),
         lambda t: F.col("label").contains(t),
     )
-    type_hit = F.exists(
-        F.col("log_types"),
-        lambda lt: F.exists(
-            F.array(*[F.lit(t) for t in type_tokens]), lambda t: lt.contains(t)
-        ),
+    type_hit = F.arrays_overlap(
+        F.col("log_types"), F.array(*[F.lit(t) for t in type_tokens])
     )
     return (
         page_meta.filter(label_hit | type_hit)
         .groupBy("doc_id")
-        .agg(F.collect_list("media_ref").alias("_blacklisted_refs"))
+        .agg(F.collect_list(ref_col).alias("_blacklisted_refs"))
     )
 
 
@@ -365,9 +373,19 @@ def _stage_dehyphenate(spans: Column, params: dict) -> Column:
     return dehyphenate_spans(spans)["spans"]
 
 
+def _stage_drop_blank_tokens(spans: Column, params: dict) -> Column:
+    from ..operators.tokens import drop_blank_tokens
+
+    cleared = map_text(spans, drop_blank_tokens)
+    return F.filter(
+        cleared, lambda s: (s["kind"] == "media") | (s["text"] != "")
+    )
+
+
 STAGES = {
     "sort": lambda spans, params: sorted_spans(spans),
     "postprocess": lambda spans, params: postprocess_spans(spans),
+    "drop_blank_tokens": _stage_drop_blank_tokens,
     "replace_chars": _stage_replace_chars,
     "replace_regex": _stage_replace_regex,
     "sanitize_chars": _stage_sanitize,

@@ -1,0 +1,91 @@
+"""Golden-fixture parity against the reference's REAL METS/MODS XML.
+
+Exact counts from ``tests/test_odem_processing_mets.py``:
+
+* Kitodo2 record 1981185920_33908: 21 physical pages, blacklist
+  (cover_front, cover_back logical types; [Leerseite]/[Colorchecker]
+  labels) keeps exactly 13; PHYS_0001/0002/0004/0017 excluded,
+  PHYS_0003/0016 kept; digital object identifier resolves to the gvk-ppn
+  '058134433' (``:221-250``).
+* SBB PPN891267093 via fileGrp DEFAULT: 136 pairs after the default
+  blacklist, 129 when logical type 'binding' is blacklisted too, PHYS_0001
+  always excluded (``:253-295``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from ocrd_odem_spark.metsparse import shred_mets
+from ocrd_odem_spark.operators.linking import resolve_identifier
+from ocrd_odem_spark.plans.pipeline import blacklisted_pages
+
+RES = "/root/reference/tests/resources"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(RES), reason="reference fixtures not available"
+)
+
+
+def _mets_df(spark, doc_id: str, name: str):
+    with open(os.path.join(RES, name), encoding="utf-8") as fh:
+        return spark.createDataFrame([Row(doc_id=doc_id, mets_xml=fh.read())])
+
+
+def _surviving(page_meta, type_tokens=("cover_front", "cover_back")):
+    """Pages that pass the blacklist filter (the reference's image_pairs)."""
+    blacklisted = blacklisted_pages(
+        page_meta, type_tokens=type_tokens, ref_col="phys_id"
+    ).select(F.explode("_blacklisted_refs").alias("ref"))
+    refs = {r["ref"] for r in blacklisted.collect()}
+    return [
+        r for r in page_meta.collect()
+        if r["media_ref"] is not None and r["phys_id"] not in refs
+    ]
+
+
+def test_golden_kitodo2_filter_13_of_21(spark):
+    doc_meta, page_meta = shred_mets(
+        _mets_df(spark, "1981185920_33908", "1981185920_33908.xml")
+    )
+    rows = page_meta.collect()
+    assert len(rows) == 21
+    pairs = _surviving(page_meta)
+    surviving_ids = {r["phys_id"] for r in pairs}
+    assert len(pairs) == 13
+    assert "PHYS_0001" not in surviving_ids
+    assert "PHYS_0002" not in surviving_ids
+    assert "PHYS_0003" in surviving_ids
+    assert "PHYS_0004" not in surviving_ids
+    assert "PHYS_0016" in surviving_ids
+    assert "PHYS_0017" not in surviving_ids
+
+    ident = resolve_identifier(doc_meta).collect()[0]["record_identifier"]
+    assert ident == "058134433"
+    langs = doc_meta.collect()[0]["languages"]
+    assert langs == ["lat", "ger"]
+
+
+def test_golden_sbb_default_group_136(spark):
+    _, page_meta = shred_mets(
+        _mets_df(spark, "PPN891267093", "sbb-PPN891267093.xml"),
+        file_group="DEFAULT",
+    )
+    pairs = _surviving(page_meta)
+    assert len(pairs) == 136
+    assert all(r["phys_id"] != "PHYS_0001" for r in pairs)
+
+
+def test_golden_sbb_custom_blacklist_129(spark):
+    _, page_meta = shred_mets(
+        _mets_df(spark, "PPN891267093", "sbb-PPN891267093.xml"),
+        file_group="DEFAULT",
+    )
+    pairs = _surviving(
+        page_meta, type_tokens=("cover_front", "cover_back", "binding")
+    )
+    assert len(pairs) == 129
+    assert all(r["phys_id"] != "PHYS_0001" for r in pairs)
