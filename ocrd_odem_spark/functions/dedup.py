@@ -159,9 +159,24 @@ def simhash64(text: Column) -> Column:
     )
 
 
-def simhash64_agg(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def md5_hash60(col: Column) -> Column:
+    """Portable 60-bit token hash: first 15 md5 hex chars as a bigint.
+
+    Bit-for-bit reproducible in DuckDB as
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT`` — the oracle tier for the
+    driver's cross-engine checks.  Production uses ``xxhash64`` (faster,
+    JVM-only).
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash64_agg(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    hash_fn=F.xxhash64,
+) -> DataFrame:
     """Vectorised SimHash: explode tokens once, hash with codegen'd
-    ``xxhash64``, aggregate 64 bit-vote sums per document.
+    ``hash_fn`` (default ``xxhash64``), aggregate 64 bit-vote sums per
+    document.
 
     Same result as ``simhash64`` (proven in tests) but every step is
     whole-stage-codegen (the HOF form is interpreted per token*bit and ~10x
@@ -171,7 +186,7 @@ def simhash64_agg(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
-    ).select("id", F.xxhash64("tok").alias("h"))
+    ).select("id", hash_fn(F.col("tok")).alias("h"))
     votes = [
         F.sum(
             F.when(
@@ -199,16 +214,25 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     block_bits: int = 16,
+    hash_fn=F.xxhash64,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
     Scale path: pigeonhole blocking — split the 64-bit hash into
     64/block_bits blocks; any pair within distance d <= blocks-1 shares at
     least one exact block, so candidates come from equi-joins on block
-    values instead of a cross join.
+    values instead of a cross join.  Recall is EXACT only while
+    ``max_hamming <= n_blocks - 1``; a larger distance would silently drop
+    pairs whose differing bits spread one-per-block, so it is an error.
     """
     n_blocks = 64 // block_bits
-    sim = simhash64_agg(df, text_col=text_col, id_col=id_col)
+    if max_hamming > n_blocks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs >= {max_hamming + 1} pigeonhole "
+            f"blocks, but block_bits={block_bits} gives only {n_blocks}; "
+            f"use block_bits <= {64 // (max_hamming + 1)}"
+        )
+    sim = simhash64_agg(df, text_col=text_col, id_col=id_col, hash_fn=hash_fn)
     blocked = sim.select(
         "id",
         "sh",

@@ -112,6 +112,63 @@ def _signatures_arrow(df: DataFrame, id_col: str, vec_col: str, tables) -> DataF
     )
 
 
+def portable_int_planes(
+    dim: int, n_planes: int, n_tables: int, key: str = "ann"
+) -> list[list[list[int]]]:
+    """Deterministic INTEGER hyperplane weights in [-9, 9], derived from
+    md5 so any SQL engine reproduces them bit-for-bit:
+    ``('0x' || substr(md5('{key}_t_p_d'), 1, 13))::BIGINT % 19 - 9``.
+
+    With vectors quantized to ``floor(v * 2^20)`` int64, the plane dot
+    products stay integers < 2^53, so the sign computation is EXACT and
+    summation-order-independent — numpy, Spark, and DuckDB agree on every
+    bucket, which makes the LSH path oracle-checkable."""
+    import hashlib
+
+    def w(t: int, p: int, d: int) -> int:
+        h = hashlib.md5(f"{key}_{t}_{p}_{d}".encode()).hexdigest()[:13]
+        return int(h, 16) % 19 - 9
+
+    return [
+        [[w(t, p, d) for d in range(dim)] for p in range(n_planes)]
+        for t in range(n_tables)
+    ]
+
+
+def _int_signatures_arrow(df: DataFrame, id_col: str, vec_col: str, tables) -> DataFrame:
+    """Signature stage over integer planes: quantize to floor(v * 2^20) and
+    take exact integer dot-product signs (see ``portable_int_planes``)."""
+    import numpy as np
+    import pandas as pd
+
+    planes = np.asarray(tables, dtype=np.float64)  # (T, n_planes, dim)
+    weights = 1 << np.arange(planes.shape[1], dtype=np.int64)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"id": [], "vec": [], "sigs": []})
+                continue
+            vecs = np.floor(
+                np.asarray(pdf[vec_col].tolist(), dtype=np.float64) * 1048576.0
+            )
+            sigs = [
+                ((vecs @ planes[t].T >= 0).astype(np.int64) * weights).sum(axis=1)
+                for t in range(planes.shape[0])
+            ]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "vec": pdf[vec_col],
+                    "sigs": list(map(list, zip(*sigs))),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, schema="id long, vec array<float>, sigs array<long>"
+    )
+
+
 def rh_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane sign signature packed into a long."""
     sig = F.lit(0).cast("long")
@@ -134,15 +191,25 @@ def lsh_cosine_topk(
     n_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
+    int_tables: list[list[list[int]]] | None = None,
 ) -> DataFrame:
     """Bucketed ANN with OR-construction: ``n_tables`` independent
     sign-signature tables; a candidate pair needs a full match in ANY
     table.  Recall dial = (n_planes down, n_tables up); cost dial = the
-    reverse.  Same output shape as ``cosine_topk`` but approximate."""
-    tables = [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    reverse.  Same output shape as ``cosine_topk`` but approximate.
+
+    ``int_tables``: integer planes from ``portable_int_planes`` — the
+    exact, cross-engine-reproducible signature tier (oracle-checkable);
+    default is gaussian planes."""
+    if int_tables is not None:
+        tables = int_tables
+        sig_stage = _int_signatures_arrow
+    else:
+        tables = [hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+        sig_stage = _signatures_arrow
 
     def with_buckets(df: DataFrame, idc: str, alias: str) -> DataFrame:
-        sigs = _signatures_arrow(df, id_col, vec_col, tables)
+        sigs = sig_stage(df, id_col, vec_col, tables)
         return sigs.select(
             F.col("id").alias(idc),
             F.col("vec").alias(alias),

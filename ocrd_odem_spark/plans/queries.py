@@ -722,22 +722,104 @@ FROM merged"""
 
 
 def q29_simhash_spark(spark, sf_dir):
-    """SimHash near-dup pairs (xxhash64 — no portable oracle, rows-only)."""
-    from ..functions.dedup import simhash_near_duplicates
+    """SimHash near-dup pairs, portable md5-60bit hash tier.
+
+    block_bits=12 gives 5 pigeonhole blocks — exact recall for
+    max_hamming=4 (d+1 blocks required), so the brute-force DuckDB oracle
+    must match EXACTLY; a recall gap in the blocking would show up as a
+    row-count mismatch.  Production tier keeps xxhash64 (pytest-verified
+    equal semantics)."""
+    from ..functions.dedup import md5_hash60, simhash_near_duplicates
 
     load_views(spark, sf_dir)
-    return simhash_near_duplicates(
-        spark.table("documents"), max_hamming=4, block_bits=16
+    out = simhash_near_duplicates(
+        spark.table("documents"), max_hamming=4, block_bits=12, hash_fn=md5_hash60
     )
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+Q29_ORACLE = """WITH _sh_tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+  FROM documents
+),
+_sh_h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM _sh_tok
+),
+_sh_votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM _sh_h, (SELECT unnest(range(0, 64)) AS b) AS bits
+  GROUP BY doc_id, b
+),
+_sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0::BIGINT END)::BIGINT AS sh
+  FROM _sh_votes GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       cast(bit_count(xor(a.sh, b.sh)) AS int) AS hamming
+FROM _sh a JOIN _sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 4"""
 
 
 def q30_lsh_ann_spark(spark, sf_dir):
-    """Bucketed ANN top-k (plane signs — no portable oracle, rows-only)."""
-    from ..functions.similarity import lsh_cosine_topk
+    """Bucketed ANN top-k over integer-quantized plane signatures.
+
+    ``portable_int_planes`` + floor(v * 2^20) quantization keep every dot
+    product an exact integer < 2^53, so numpy, Spark, and the DuckDB
+    oracle compute identical buckets — the SCALE path is the oracled one
+    (the gaussian tier stays for production, pytest-verified)."""
+    from ..functions.similarity import lsh_cosine_topk, portable_int_planes
 
     load_views(spark, sf_dir)
     emb = spark.table("embeddings")
-    return lsh_cosine_topk(emb, emb.where(F.col("vec_id") < 10), k=3)
+    return lsh_cosine_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=3,
+        int_tables=portable_int_planes(64, 6, 8),
+    )
+
+
+Q30_ORACLE = """WITH _pl AS (
+  SELECT t, p,
+         list_transform(range(0, 64), d ->
+           ('0x' || substr(md5('ann_' || t || '_' || p || '_' || d), 1, 13))::BIGINT
+           % 19 - 9) AS w
+  FROM (SELECT unnest(range(0, 8)) AS t), (SELECT unnest(range(0, 6)) AS p)
+),
+_sv AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS sv
+  FROM embeddings
+),
+_sig AS (
+  SELECT s.vec_id, pl.t,
+         sum(CASE WHEN list_dot_product(s.sv, CAST(pl.w AS DOUBLE[])) >= 0
+                  THEN (1::BIGINT << pl.p) ELSE 0::BIGINT END) AS sig
+  FROM _sv s, _pl pl
+  GROUP BY s.vec_id, pl.t
+),
+_cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM _sig c JOIN _sig q ON c.t = q.t AND c.sig = q.sig
+  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+_scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         round(list_dot_product(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(ce.embedding::DOUBLE[], ce.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[]))),
+               6) AS sim
+  FROM _cand cd
+  JOIN embeddings ce ON ce.vec_id = cd.neighbor_id
+  JOIN embeddings qe ON qe.vec_id = cd.query_id
+),
+_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+  FROM _scored
+)
+SELECT query_id, neighbor_id, sim, cast(rank AS int) AS rank
+FROM _ranked WHERE rank <= 3"""
 
 
 def _named_sql(template: str) -> tuple[Callable, str]:
@@ -787,8 +869,8 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     reg["q26_lsh_candidate_pairs"] = (q26_spark, _q26(DUCKDB))
     reg["q27_knn_cosine"] = (q27_spark, Q27_ORACLE)
     reg["q28_document_profile"] = (q28_spark, _q28_oracle())
-    reg["q29_simhash_neardup"] = (q29_simhash_spark, None)
-    reg["q30_lsh_ann_topk"] = (q30_lsh_ann_spark, None)
+    reg["q29_simhash_neardup"] = (q29_simhash_spark, Q29_ORACLE)
+    reg["q30_lsh_ann_topk"] = (q30_lsh_ann_spark, Q30_ORACLE)
     reg["q14_resume_antijoin"] = (q14_resume_antijoin_spark, Q14_ORACLE)
     reg["q31_events_rollup"] = (q31_events_rollup_spark, Q31_ORACLE)
     reg["q33_estimation_bins"] = (q33_estimation_bins_spark, Q33_ORACLE)

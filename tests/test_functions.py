@@ -49,12 +49,75 @@ def test_jaccard_verify(spark):
 
 
 def test_simhash_near_duplicates(spark):
+    # max_hamming=8 needs >= 9 pigeonhole blocks -> block_bits=7 (64//7 = 9)
     rows = dedup.simhash_near_duplicates(
-        _docs_df(spark), max_hamming=8, block_bits=16
+        _docs_df(spark), max_hamming=8, block_bits=7
     ).collect()
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
     assert got.get((1, 2)) == 0
     assert (1, 3) in got or (2, 3) in got
+
+
+def test_simhash_block_guard_raises(spark):
+    """max_hamming beyond the pigeonhole guarantee is an error, not silent
+    recall loss (ADVICE r1): 64//16 = 4 blocks only covers distance <= 3."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_duplicates(_docs_df(spark), max_hamming=4, block_bits=16)
+
+
+def test_md5_hash60_matches_duckdb(spark):
+    """The portable hash tier must agree with DuckDB's hex cast exactly."""
+    import duckdb
+
+    toks = ["Wort", "zum", "ſchönen", "123", ""]
+    got = {
+        r["t"]: r["h"]
+        for r in spark.createDataFrame([(t,) for t in toks], "t string")
+        .select("t", dedup.md5_hash60(F.col("t")).alias("h"))
+        .collect()
+    }
+    con = duckdb.connect()
+    for t in toks:
+        exp = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [t]
+        ).fetchone()[0]
+        assert got[t] == exp
+
+
+def test_portable_int_planes_formula(spark):
+    """Plane weights reproduce the documented md5 formula (the q30 oracle
+    generates the same values inside DuckDB SQL)."""
+    import duckdb
+
+    tables = similarity.portable_int_planes(4, 2, 2)
+    con = duckdb.connect()
+    for t in range(2):
+        for p in range(2):
+            for d in range(4):
+                exp = con.execute(
+                    "SELECT ('0x' || substr(md5(?), 1, 13))::BIGINT % 19 - 9",
+                    [f"ann_{t}_{p}_{d}"],
+                ).fetchone()[0]
+                assert tables[t][p][d] == exp
+                assert -9 <= tables[t][p][d] <= 9
+
+
+def test_lsh_topk_int_planes(spark):
+    """Integer-plane tier returns the same shape and sane ranks."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(4)
+    out = similarity.lsh_cosine_topk(
+        emb, queries, k=2, int_tables=similarity.portable_int_planes(64, 6, 8)
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert all(r["neighbor_id"] != q for r in rows)
 
 
 def test_cosine_topk_exact(spark, request):
