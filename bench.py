@@ -142,6 +142,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    # same heap as the scaling probe: 32 executor threads churning span
+    # structs on the default 8g heap turn the hof flagship into a GC
+    # benchmark (VERDICT r1 item 7 — recorded 5.4k docs/s vs the real 42k)
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
     if args.flagship_only:
         spark = _session(args.cores)
         spark.sparkContext.setLogLevel("ERROR")

@@ -66,11 +66,21 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_k: int = 3,
     max_bucket: int = 64,
+    with_stats: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash.
 
     rows-per-band = num_hashes // bands.  ``max_bucket`` caps pathological
-    buckets (mass boilerplate) so the within-bucket join stays bounded.
+    buckets (mass boilerplate) so the within-bucket join stays bounded —
+    enforced with a ``row_number()`` window BEFORE any per-bucket
+    aggregation, so a 10^7-id boilerplate bucket never materializes in an
+    agg buffer (the window sorts and streams; the later ``collect_list``
+    only ever sees <= max_bucket rows).
+
+    Truncation is observable, not silent: ``with_stats=True`` returns
+    ``(pairs, stats)`` where stats is a 1-row frame with ``n_buckets``,
+    ``n_oversized_buckets`` and ``n_dropped_ids`` (ids excluded from pair
+    generation by the cap).
     """
     rows = num_hashes // bands
     sig = df.select(
@@ -92,8 +102,16 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    bounded = banded.groupBy("band", "bucket").agg(
-        F.slice(F.sort_array(F.collect_list("id")), 1, max_bucket).alias("ids")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket").orderBy("id")
+    capped = banded.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= max_bucket
+    )
+    # groupBy reuses the window's (band, bucket) partitioning — no second
+    # exchange; every bucket array is bounded by max_bucket by construction
+    bounded = capped.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
     ).where(F.size("ids") > 1)
     pairs = bounded.select(
         F.explode(
@@ -110,7 +128,20 @@ def minhash_lsh_candidates(
             )
         ).alias("p")
     ).select("p.id_a", "p.id_b").distinct()
-    return pairs
+    if not with_stats:
+        return pairs
+    stats = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").cast("long").alias("n_buckets"),
+            F.sum((F.col("n") > max_bucket).cast("long")).alias("n_oversized_buckets"),
+            F.sum(F.greatest(F.col("n") - max_bucket, F.lit(0)))
+            .cast("long")
+            .alias("n_dropped_ids"),
+        )
+    )
+    return pairs, stats
 
 
 def jaccard_verify(

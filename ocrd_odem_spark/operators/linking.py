@@ -86,18 +86,33 @@ def resolve_identifier(doc_meta: DataFrame) -> DataFrame:
 
 
 def language_model_config(
-    doc_meta: DataFrame, model_map: dict[str, str], default: str = "gt4hist"
+    doc_meta: DataFrame, model_map: dict[str, str], default: str | None = "gt4hist"
 ) -> DataFrame:
     """J4: language list -> OCR model chain via broadcast map lookup,
-    '+'-composed in language order (reference ``odem_process_impl.py:173-254``)."""
+    '+'-composed in language order (reference ``odem_process_impl.py:173-254``).
+
+    Unmapped languages are an ERROR CHANNEL, not a silent fallback: the
+    reference raises ``ODEMModelMissingException`` for a language without a
+    model (``odem_process_impl.py:193``), so rows with unknown languages get
+    a ``model_error`` listing them (J2 pattern) for the caller to route to
+    the fail path.  ``default`` (when not None) is still applied so the
+    config column stays usable for callers that WANT the legacy fallback —
+    but the error column makes the divergence visible either way.
+    """
     mapping = F.create_map(
         *[F.lit(x) for kv in model_map.items() for x in kv]
     )
+    unmapped = F.filter(F.col("languages"), lambda lang: mapping[lang].isNull())
+    fallback = F.lit(default) if default is not None else F.lit(None).cast("string")
     models = F.transform(
-        F.col("languages"), lambda lang: F.coalesce(mapping[lang], F.lit(default))
+        F.col("languages"), lambda lang: F.coalesce(mapping[lang], fallback)
     )
     return doc_meta.select(
         "doc_id",
         "languages",
         F.array_join(F.array_distinct(models), "+").alias("model_config"),
+        F.when(
+            F.size(unmapped) > 0,
+            F.concat(F.lit("no model for: "), F.array_join(unmapped, ",")),
+        ).alias("model_error"),
     )

@@ -41,7 +41,10 @@ def load_views(spark: SparkSession, sf_dir: str) -> None:
         return
     for name in TABLES:
         spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
-    _VIEWS_LOADED.clear()
+    # replacing views invalidates THIS session's other sf entries only —
+    # other live sessions keep their registrations
+    for stale in [k for k in _VIEWS_LOADED if k[0] == id(spark) and k != key]:
+        del _VIEWS_LOADED[stale]
     _VIEWS_LOADED[key] = True
 
 

@@ -15,8 +15,10 @@ the identical protocol:
 
     1. pending = all buckets  ANTI JOIN  state(done)      -- partition prune
     2. stage output for pending buckets (staging dir / Iceberg snapshot)
-    3. per bucket: publish output (rename / commit), then append state row
-       with lineage metrics (n_docs, n_spans_out, run_id)
+    3. ONE aggregation over staging computes every bucket's lineage
+       metrics, then buckets publish by rename (cheap filesystem ops) and
+       ONE state append records them all — O(1) Spark jobs per run, not
+       O(n_buckets) serial driver round-trips
 
 Re-running a completed workload is a no-op; re-running after a mid-write
 crash recomputes only unpublished buckets.
@@ -100,6 +102,12 @@ def run_with_checkpoint(
     store = StateStore(state_path)
     os.makedirs(output_path, exist_ok=True)
 
+    # sweep staging left by crashed runs — resume uses a fresh run_id, so a
+    # stale _staging_<old> dir would otherwise leak forever
+    for name in os.listdir(output_path):
+        if name.startswith("_staging_"):
+            shutil.rmtree(os.path.join(output_path, name), ignore_errors=True)
+
     bucket = F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
     done = store.done_buckets(spark)
     pending_docs = docs.withColumn("_bucket", bucket)
@@ -113,29 +121,58 @@ def run_with_checkpoint(
     staging = os.path.join(output_path, f"_staging_{run_id}")
     out.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
 
+    # ONE aggregation over the whole staging dir for every bucket's lineage
+    # stats — not one Spark job per bucket (512 buckets were 512 serial
+    # driver round-trips; VERDICT r1 item 5).  The rename loop below is pure
+    # filesystem work, and the state append is a single write.
+    bucket_dirs = sorted(
+        n for n in os.listdir(staging) if n.startswith("_bucket=")
+    )
+    stats_by_bucket: dict[int, dict] = {}
+    if bucket_dirs:
+        agg = (
+            spark.read.parquet(staging)
+            .groupBy("_bucket")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("n_spans"),
+            )
+            .collect()
+        )
+        stats_by_bucket = {
+            int(r["_bucket"]): {"n_docs": r["n_docs"], "n_spans": r["n_spans"]}
+            for r in agg
+        }
+
     published = []
-    for name in sorted(os.listdir(staging)):
-        if not name.startswith("_bucket="):
-            continue
+    truncated = False
+    for name in bucket_dirs:
         b = int(name.split("=", 1)[1])
         src = os.path.join(staging, name)
         dst = os.path.join(output_path, name)
         if os.path.exists(dst):
             shutil.rmtree(dst)  # idempotent re-publish after crash
         shutil.move(src, dst)
-        stats = spark.read.parquet(dst).select(
-            F.count("*").alias("n_docs"),
-            F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("n_spans"),
-        ).collect()[0]
-        store.mark_done(
-            spark,
-            [{"bucket": b, "n_docs": stats["n_docs"], "n_spans_out": stats["n_spans"]}],
-            run_id,
-        )
         published.append(b)
         if fail_after_buckets is not None and len(published) >= fail_after_buckets:
-            shutil.rmtree(staging, ignore_errors=True)
-            return {"published": len(published), "skipped": len(done), "run_id": run_id}
+            truncated = True
+            break
+    if published:
+        store.mark_done(
+            spark,
+            [
+                {
+                    "bucket": b,
+                    "n_docs": stats_by_bucket[b]["n_docs"],
+                    "n_spans_out": stats_by_bucket[b]["n_spans"],
+                }
+                for b in published
+            ],
+            run_id,
+        )
+    if truncated:
+        shutil.rmtree(staging, ignore_errors=True)
+        return {"published": len(published), "skipped": len(done), "run_id": run_id}
     shutil.rmtree(staging, ignore_errors=True)
     return {"published": len(published), "skipped": len(done), "run_id": run_id}
 

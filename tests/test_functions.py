@@ -48,6 +48,33 @@ def test_jaccard_verify(spark):
         assert j >= 0.5
 
 
+def test_lsh_bucket_cap_bounded_and_observable(spark):
+    """A skewed boilerplate bucket (120 identical docs) is capped to
+    max_bucket ids via row_number BEFORE pair generation; the drop is
+    reported, never silent (VERDICT r1 item 4)."""
+    boiler = [(i, "gleicher Kessel Text immer wieder gleich") for i in range(120)]
+    distinct = [(1000 + i, f"einzigartiger Text nummer {i} ohne Partner xyz{i}")
+                for i in range(5)]
+    df = spark.createDataFrame(boiler + distinct, "doc_id int, text string")
+    pairs, stats = dedup.minhash_lsh_candidates(
+        df, max_bucket=16, bands=4, num_hashes=16, with_stats=True
+    )
+    got = pairs.collect()
+    ids = {r["id_a"] for r in got} | {r["id_b"] for r in got}
+    # only the 16 smallest boilerplate ids survive the cap (orderBy id)
+    assert ids == set(range(16))
+    assert len(got) == 16 * 15 // 2
+    s = stats.collect()[0]
+    assert s["n_oversized_buckets"] >= 1
+    # every band's boilerplate bucket drops 120-16 ids
+    assert s["n_dropped_ids"] >= 104
+    # one exchange only: the window partitioning is reused by the groupBy
+    # (AQE plans print Final + Initial sections — count the final one only)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 2  # banded + distinct
+
+
 def test_simhash_near_duplicates(spark):
     # max_hamming=8 needs >= 9 pigeonhole blocks -> block_bits=7 (64//7 = 9)
     rows = dedup.simhash_near_duplicates(

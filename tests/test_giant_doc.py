@@ -42,7 +42,7 @@ def test_giant_doc_both_modes_linear(spark):
 
 
 def test_big_chainy_doc_exact_fold(spark):
-    """A big doc WITH chain-prone lines falls back to the exact fold."""
+    """A big doc WITH chain-prone lines auto-routes to the marks tier."""
     doc = gen.make_document(5, 1, n_pages=400)
     # inject chain-prone single-token hyphen lines
     for s in doc["spans"][:200]:
@@ -50,3 +50,59 @@ def test_big_chainy_doc_exact_fold(spark):
             s["text"] = "solo-"
     df = spark.createDataFrame([doc], DOCS_SCHEMA)
     assert _got(df, "hof") == _golden(doc)
+
+
+def test_marks_tier_equals_fold_on_adversarial_chains(spark):
+    """The marks tier must be byte-equal to the exact fold on every chain
+    shape: donation cascades, drop branches, media boundaries, trailing
+    hyphens, whole-line '-' tokens."""
+    from pyspark.sql import functions as F
+
+    from ocrd_odem_spark.operators import dehyphen
+
+    def doc(i, lines):
+        spans, off = [], 0
+        for ln in lines:
+            if ln == "<media>":
+                spans.append({"kind": "media", "text": "", "media_ref": f"m{off}", "offset": off})
+            else:
+                ref = next((s["media_ref"] for s in reversed(spans) if s["kind"] == "media"), "m0")
+                spans.append({"kind": "text", "text": ln, "media_ref": ref, "offset": off})
+            off += 1
+        return {"doc_id": f"adv{i}", "spans": spans}
+
+    cases = [
+        ["<media>", "a-", "b-", "c-", "d-", "wort rest"],
+        ["<media>", "zu-", "", "danach mehr"],
+        ["<media>", "x-", "<media>", "kein merge hier"],
+        ["<media>", "lang wort-", "kurz-", "-", "ende-"],
+        ["<media>", "-", "-", "-", "-"],
+        ["<media>", "wort-"],
+        ["<media>", "a- b-", "c- d-", "e"],
+        [],
+    ]
+    df = spark.createDataFrame([doc(i, c) for i, c in enumerate(cases)], DOCS_SCHEMA)
+    out = df.select(
+        "doc_id",
+        dehyphen._dehyphenate_fold(F.col("spans")).alias("fold"),
+        dehyphen._dehyphenate_marks(F.col("spans")).alias("marks"),
+    ).collect()
+    for i, r in enumerate(sorted(out, key=lambda r: r["doc_id"])):
+        assert r["fold"] == r["marks"], cases[i]
+
+
+def test_giant_chainy_doc_linear_marks_tier(spark):
+    """VERDICT r1 item 6: a chain-y 45k-span book finishes in seconds —
+    the dispatch auto-routes to the marks tier (exact chain semantics,
+    linear array work), byte-equal to the Python oracle."""
+    doc = gen.make_document(5, 2, n_pages=4000)
+    assert len(doc["spans"]) > 30000
+    # dense chain-prone injections, incl. consecutive runs (real chains)
+    for s in doc["spans"]:
+        if s["kind"] == "text" and s["offset"] % 5 in (1, 2):
+            s["text"] = "kett-"
+    df = spark.createDataFrame([doc], DOCS_SCHEMA)
+    golden = _golden(doc)
+    t0 = time.time()
+    assert _got(df, "hof") == golden
+    assert time.time() - t0 < 150  # the O(n²) fold took minutes here

@@ -73,8 +73,9 @@ def test_resolve_identifier(spark, doc_meta_df):
 
 def test_language_model_config(spark, doc_meta_df):
     cfg = {"ger": "frk", "lat": "lat_ocr", "ara": "ara"}
-    rows = {r["doc_id"]: r["model_config"]
-            for r in linking.language_model_config(doc_meta_df, cfg).collect()}
+    out = linking.language_model_config(doc_meta_df, cfg).collect()
+    rows = {r["doc_id"]: r["model_config"] for r in out}
+    errs = {r["doc_id"]: r["model_error"] for r in out}
     meta = {r["doc_id"]: r["languages"] for r in doc_meta_df.collect()}
     for doc_id, langs in meta.items():
         parts = []
@@ -83,6 +84,13 @@ def test_language_model_config(spark, doc_meta_df):
             if m not in parts:
                 parts.append(m)
         assert rows[doc_id] == "+".join(parts)
+        # unmapped languages surface in the error channel (reference raises
+        # ODEMModelMissingException, odem_process_impl.py:193) — never silent
+        missing = [lang for lang in langs if lang not in cfg]
+        if missing:
+            assert errs[doc_id] == "no model for: " + ",".join(missing)
+        else:
+            assert errs[doc_id] is None
 
 
 def test_missing_link_error_channel(spark):
