@@ -73,6 +73,22 @@ def loss_set(candidates: DataFrame, results: DataFrame) -> DataFrame:
     )
 
 
+def latest_agent(
+    agents: DataFrame, agent_col: str = "agent", ts_col: str = "ts"
+) -> DataFrame:
+    """O5: newest agent entry per document.
+
+    The reference sorts METS agent notes by date and reads the LATEST
+    Derivans entry (``mets.py:483-489``); here that is one window pass —
+    ties on timestamp break deterministically by agent name."""
+    w = Window.partitionBy("doc_id").orderBy(F.desc(ts_col), F.desc(agent_col))
+    return (
+        agents.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", agent_col, ts_col)
+    )
+
+
 def resolve_identifier(doc_meta: DataFrame) -> DataFrame:
     """T11: record identifier resolution — gvk-ppn preferred, then urn,
     then any; ':' replaced by '+' (reference ``mets.py:131-165``)."""

@@ -35,6 +35,7 @@ _DIALECTS = {
         "get1": lambda a, i: f"get({a}, {i} - 1)",  # null-safe, 1-based i
         "regex_sub": lambda s, pat, rep: f"regexp_replace({s}, '{pat}', '{rep_dollar(rep)}')",
         "empty_str_arr": "array()",
+        "arr": lambda *items: "array(" + ", ".join(f"'{x}'" for x in items) + ")",
     },
     DUCKDB: {
         "split": lambda s, sep: f"string_split({s}, '{sep}')",
@@ -48,6 +49,7 @@ _DIALECTS = {
         "get1": lambda a, i: f"list_extract({a}, {i})",
         "regex_sub": lambda s, pat, rep: f"regexp_replace({s}, '{pat}', '{rep_backslash(rep)}', 'g')",
         "empty_str_arr": "[]::VARCHAR[]",
+        "arr": lambda *items: "[" + ", ".join(f"'{x}'" for x in items) + "]",
     },
 }
 
@@ -118,6 +120,76 @@ spans_input AS (
          lpad({d['str']('p + 1')}, 8, '0') AS media_ref,
          cast(p * 11 AS int) AS offset
   FROM (SELECT DISTINCT doc_id, p FROM _sp_linetext)
+)"""
+
+
+def meta_cte(dialect: str, documents: str = "documents") -> str:
+    """CTE body deriving the METADATA dimensions from ``documents`` —
+    identically in both dialects, pure integer arithmetic keyed on the
+    source doc_id.
+
+    Emits ``doc_meta_input(doc_id, src_id, mets_type, pica_type, languages,
+    gvk_ppn, urn)`` and ``page_meta_input(doc_id, src_id, media_ref,
+    phys_id, label, log_types, width, height, n_bytes)``.  Page count per
+    document matches ``spans_cte`` exactly (8 tokens/line, 10 lines/page),
+    so page dimensions JOIN the derived span corpus on (doc_id, media_ref).
+
+    Deterministic decorations exercise the metadata operator family:
+    non-print METS types and PICA marks (F1), blacklisted labels/logical
+    types (F3/F4), unlinked pages (J2), unmapped languages (J4), missing
+    gvk-ppn identifiers (T11).  width/height are multiples of 100 and
+    n_bytes multiples of MiB so megapixel/MB aggregates stay float-exact
+    cross-engine (A2).
+    """
+    d = _DIALECTS[dialect]
+    arr = d["arr"]
+    s = d["str"]
+    return f"""
+_mt_base AS (
+  SELECT doc_id AS src_id,
+         concat('synth_', lpad({s('doc_id')}, 6, '0')) AS doc_key,
+         greatest(1, cast(ceil({d['size'](d['split']('text', ' '))} / 8.0) AS int)) AS n_lines
+  FROM {documents}
+),
+_mt_docs AS (
+  SELECT src_id, doc_key,
+         cast(ceil(n_lines / 10.0) AS int) AS n_pages
+  FROM _mt_base
+),
+doc_meta_input AS (
+  SELECT doc_key AS doc_id, src_id,
+         CASE src_id % 7 WHEN 0 THEN 'monograph' WHEN 1 THEN 'volume'
+              WHEN 2 THEN 'issue' WHEN 3 THEN 'additional'
+              WHEN 4 THEN 'newspaper_year' WHEN 5 THEN 'map'
+              ELSE 'monograph' END AS mets_type,
+         CASE src_id % 5 WHEN 0 THEN 'Aa' WHEN 1 THEN 'Af' WHEN 2 THEN 'Ox'
+              WHEN 3 THEN 'AZ' ELSE 'Hu' END AS pica_type,
+         CASE src_id % 6 WHEN 0 THEN {arr('ger')} WHEN 1 THEN {arr('lat', 'ger')}
+              WHEN 2 THEN {arr('ara')} WHEN 3 THEN {arr('ger', 'heb')}
+              WHEN 4 THEN {arr('unk')} ELSE {arr('lat')} END AS languages,
+         CASE WHEN src_id % 4 = 0 THEN NULL
+              ELSE concat('0', {s('58134000 + src_id')}) END AS gvk_ppn,
+         concat('urn:nbn:de:gbv:3:1-', {s('src_id')}) AS urn
+  FROM _mt_docs
+),
+_mt_pages AS (
+  SELECT doc_key AS doc_id, src_id, {d['series']('n_pages')} AS p FROM _mt_docs
+),
+page_meta_input AS (
+  SELECT doc_id, src_id,
+         lpad({s('p + 1')}, 8, '0') AS media_ref,
+         concat('PHYS_', lpad({s('p + 1')}, 4, '0')) AS phys_id,
+         CASE (src_id*17 + p) % 11 WHEN 0 THEN '[Leerseite]'
+              WHEN 1 THEN '[Colorchecker]'
+              ELSE concat('Seite ', {s('p + 1')}) END AS label,
+         CASE (src_id*13 + p) % 9 WHEN 0 THEN {arr('cover_front')}
+              WHEN 1 THEN {arr('cover_back', 'monograph')}
+              WHEN 8 THEN {d['empty_str_arr']}
+              ELSE {arr('chapter')} END AS log_types,
+         cast(100 * (8 + (src_id*37 + p*11) % 20) AS int) AS width,
+         cast(100 * (10 + (src_id*23 + p*7) % 24) AS int) AS height,
+         cast(1048576 * (1 + (src_id*101 + p*13) % 5) AS bigint) AS n_bytes
+  FROM _mt_pages
 )"""
 
 

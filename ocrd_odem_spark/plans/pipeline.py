@@ -246,6 +246,23 @@ def relevance_filter(doc_meta: DataFrame) -> DataFrame:
     )
 
 
+def page_blacklist_flag(
+    label_tokens: tuple[str, ...] = ("Colorchecker", "Leerseite"),
+    type_tokens: tuple[str, ...] = ("cover_front", "cover_back"),
+) -> Column:
+    """Boolean column: this page row hits the label or logical-type
+    blacklist (substring on labels, exact membership on type lists —
+    reference ``is_in``, ``mets.py:417-420``)."""
+    label_hit = F.exists(
+        F.array(*[F.lit(t) for t in label_tokens]),
+        lambda t: F.col("label").contains(t),
+    )
+    type_hit = F.arrays_overlap(
+        F.col("log_types"), F.array(*[F.lit(t) for t in type_tokens])
+    )
+    return label_hit | type_hit
+
+
 def blacklisted_pages(
     page_meta: DataFrame,
     label_tokens: tuple[str, ...] = ("Colorchecker", "Leerseite"),
@@ -262,18 +279,49 @@ def blacklisted_pages(
     span fact table joins on it) or ``phys_id`` (always unique; IIIF-style
     hrefs can collapse every page to the same basename stem).
     """
-    label_hit = F.exists(
-        F.array(*[F.lit(t) for t in label_tokens]),
-        lambda t: F.col("label").contains(t),
-    )
-    type_hit = F.arrays_overlap(
-        F.col("log_types"), F.array(*[F.lit(t) for t in type_tokens])
-    )
     return (
-        page_meta.filter(label_hit | type_hit)
+        page_meta.filter(page_blacklist_flag(label_tokens, type_tokens))
         .groupBy("doc_id")
         .agg(F.collect_list(ref_col).alias("_blacklisted_refs"))
     )
+
+
+def process_statistics(
+    doc_meta: DataFrame, page_meta: DataFrame, media: DataFrame | None = None
+) -> DataFrame:
+    """Unified per-document statistics record (reference
+    ``odem_process_impl.py:142-153``: languages, n_images_pages,
+    n_images_ocrable, mb, mps as one INFO payload).
+
+    One aggregation over the page dimension + a broadcast join to the doc
+    dimension; the optional ``media`` frame contributes MB/megapixel sums
+    (A2).  All counts are per-doc-small, so the join side broadcasts.
+    """
+    per_doc = page_meta.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_images_pages"),
+        F.sum(
+            (~page_blacklist_flag() & F.col("media_ref").isNotNull()).cast("long")
+        ).alias("n_images_ocrable"),
+        F.sum(
+            (F.col("log_types").isNull() | (F.size("log_types") == 0)).cast("long")
+        ).alias("n_links_missing"),
+    )
+    out = per_doc.join(
+        F.broadcast(
+            doc_meta.select("doc_id", F.array_join("languages", "+").alias("languages"))
+        ),
+        "doc_id",
+        "left",
+    )
+    if media is not None:
+        from ..functions.multimodal import media_stats
+
+        out = out.join(
+            F.broadcast(media_stats(media).select("doc_id", "mb", "mps")),
+            "doc_id",
+            "left",
+        )
+    return out
 
 
 def to_flat(docs: DataFrame) -> DataFrame:

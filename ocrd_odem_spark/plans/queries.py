@@ -825,6 +825,324 @@ SELECT query_id, neighbor_id, sim, cast(rank AS int) AS rank
 FROM _ranked WHERE rank <= 3"""
 
 
+# ---------------------------------------------------------------------------
+# q35-q45 — metadata operator family (F1, F3/F4, J2, J4, T10/T11, A2, A4,
+# O3/T8, O5, process_statistics) over the derived doc/page dimensions
+# ---------------------------------------------------------------------------
+
+
+def _doc_meta_df(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return spark.sql(f"WITH {derive.meta_cte(SPARK)} SELECT * FROM doc_meta_input")
+
+
+def _page_meta_df(spark, sf_dir):
+    load_views(spark, sf_dir)
+    return spark.sql(f"WITH {derive.meta_cte(SPARK)} SELECT * FROM page_meta_input")
+
+
+def _meta_oracle(select: str) -> str:
+    return f"WITH {derive.meta_cte(DUCKDB)}\n{select}"
+
+
+def q35_relevance_spark(spark, sf_dir):
+    """F1: PICA/METS-type relevance filter (package operator)."""
+    from .pipeline import relevance_filter
+
+    return relevance_filter(_doc_meta_df(spark, sf_dir)).select(
+        "doc_id", "mets_type", "pica_type"
+    )
+
+
+Q35_ORACLE = _meta_oracle(
+    """SELECT doc_id, mets_type, pica_type FROM doc_meta_input
+WHERE mets_type IN ('monograph', 'volume', 'issue', 'additional')
+  AND substr(pica_type, 2, 1) IN ('a', 'f', 'F', 'Z', 'B')"""
+)
+
+
+def q36_blacklist_spark(spark, sf_dir):
+    """F3/F4: blacklisted pages per doc (labels substring, types exact)."""
+    from .pipeline import blacklisted_pages
+
+    bl = blacklisted_pages(_page_meta_df(spark, sf_dir))
+    return bl.select(
+        "doc_id",
+        F.size("_blacklisted_refs").cast("long").alias("n_blacklisted"),
+        F.array_join(F.array_sort("_blacklisted_refs"), ",").alias("refs"),
+    )
+
+
+Q36_ORACLE = _meta_oracle(
+    """SELECT doc_id, cast(count(*) AS bigint) AS n_blacklisted,
+       array_to_string(list_sort(list(media_ref)), ',') AS refs
+FROM page_meta_input
+WHERE label LIKE '%Colorchecker%' OR label LIKE '%Leerseite%'
+   OR list_contains(log_types, 'cover_front')
+   OR list_contains(log_types, 'cover_back')
+GROUP BY doc_id"""
+)
+
+
+def q37_missing_links_spark(spark, sf_dir):
+    """J2: pages without a logical link become error rows, not exceptions."""
+    from ..operators.linking import pages_with_log_types
+
+    out = pages_with_log_types(_page_meta_df(spark, sf_dir))
+    return out.where(F.col("link_error").isNotNull()).select(
+        "doc_id", "phys_id", "link_error"
+    )
+
+
+Q37_ORACLE = _meta_oracle(
+    """SELECT doc_id, phys_id,
+       concat('Page ', phys_id, ' not linked') AS link_error
+FROM page_meta_input WHERE len(log_types) = 0"""
+)
+
+
+_MODEL_MAP = {"ger": "frk", "lat": "lat_ocr", "ara": "ara", "heb": "heb"}
+
+
+def q38_model_config_spark(spark, sf_dir):
+    """J4: language -> model chain with the unmapped-language error channel."""
+    from ..operators.linking import language_model_config
+
+    return language_model_config(_doc_meta_df(spark, sf_dir), _MODEL_MAP).select(
+        "doc_id", "model_config", "model_error"
+    )
+
+
+_Q38_CASE = (
+    "CASE l WHEN 'ger' THEN 'frk' WHEN 'lat' THEN 'lat_ocr' "
+    "WHEN 'ara' THEN 'ara' WHEN 'heb' THEN 'heb' ELSE 'gt4hist' END"
+)
+_Q38_MISS = "list_filter(languages, l -> NOT list_contains(['ger','lat','ara','heb'], l))"
+Q38_ORACLE = _meta_oracle(
+    f"""SELECT doc_id,
+       array_to_string(list_transform(languages, l -> {_Q38_CASE}), '+')
+         AS model_config,
+       CASE WHEN len({_Q38_MISS}) > 0
+            THEN concat('no model for: ', array_to_string({_Q38_MISS}, ','))
+       END AS model_error
+FROM doc_meta_input"""
+)
+
+
+def q39_identifier_spark(spark, sf_dir):
+    """T11: record-identifier resolution (gvk-ppn > urn, ':' -> '+')."""
+    from ..operators.linking import resolve_identifier
+
+    dm = _doc_meta_df(spark, sf_dir).select(
+        "doc_id",
+        F.map_filter(
+            F.create_map(
+                F.lit("gvk-ppn"), F.col("gvk_ppn"), F.lit("urn"), F.col("urn")
+            ),
+            lambda k, v: v.isNotNull(),
+        ).alias("identifiers"),
+    )
+    return resolve_identifier(dm)
+
+
+Q39_ORACLE = _meta_oracle(
+    """SELECT doc_id,
+       replace(coalesce(gvk_ppn, urn), ':', '+') AS record_identifier
+FROM doc_meta_input"""
+)
+
+
+def q40_page_enrich_spark(spark, sf_dir):
+    """T10: Page@ID / fileName enrichment from the media stem."""
+    from ..operators.replace import media_file_name, normalize_page_ref
+
+    pm = _page_meta_df(spark, sf_dir)
+    return pm.select(
+        "doc_id",
+        "media_ref",
+        normalize_page_ref(F.col("media_ref")).alias("page_id"),
+        media_file_name(F.col("media_ref")).alias("file_name"),
+    )
+
+
+Q40_ORACLE = _meta_oracle(
+    """SELECT doc_id, media_ref,
+       concat('p', media_ref) AS page_id,
+       concat(media_ref, '.jpg') AS file_name
+FROM page_meta_input"""
+)
+
+
+def _page_media_df(pm):
+    return pm.select(
+        "doc_id",
+        F.struct(
+            F.col("width").alias("width"),
+            F.col("height").alias("height"),
+            F.lit(None).cast("int").alias("dpi"),
+            F.col("n_bytes").alias("n_bytes"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def q41_media_stats_spark(spark, sf_dir):
+    """A2: per-doc media MB/megapixel aggregates from metadata structs."""
+    from ..functions.multimodal import media_stats
+
+    return media_stats(_page_media_df(_page_meta_df(spark, sf_dir)))
+
+
+Q41_ORACLE = _meta_oracle(
+    """SELECT doc_id, cast(count(*) AS bigint) AS n_media,
+       round(sum(n_bytes) / 1048576.0, 2) AS mb,
+       round(sum(round(width * height / 1000000.0, 2)), 2) AS mps
+FROM page_meta_input GROUP BY doc_id"""
+)
+
+
+def q42_quality_vocab_spark(spark, sf_dir):
+    """A4: vocabulary-backed quality estimation over the per-page dataset."""
+    from ..operators.quality import estimate_page_quality, page_text_stats
+
+    load_views(spark, sf_dir)
+    ps = page_text_stats(docs_nested_df(spark, sf_dir))
+    vocab = spark.sql(
+        "SELECT DISTINCT explode(split(text, ' ')) AS word "
+        "FROM documents WHERE doc_id % 10 = 0"
+    )
+    return estimate_page_quality(ps, known_words=vocab)
+
+
+def _q42_oracle() -> str:
+    n_words = "cast(len(list_filter(string_split(p.file_string, ' '), t -> t <> '')) AS bigint)"
+    return f"""WITH _ps AS ({_q34_oracle()}),
+_vocab AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE doc_id % 10 = 0
+),
+_tok AS (
+  SELECT doc_id, media_ref,
+         unnest(list_filter(string_split(file_string, ' '), t -> t <> '')) AS tok
+  FROM _ps
+),
+_err AS (
+  SELECT t.doc_id, t.media_ref,
+         cast(count(*) FILTER (WHERE v.word IS NULL) AS bigint) AS n_errs_raw
+  FROM _tok t LEFT JOIN _vocab v ON v.word = t.tok
+  GROUP BY t.doc_id, t.media_ref
+)
+SELECT p.doc_id, p.media_ref,
+       {n_words} AS n_words,
+       least(coalesce(e.n_errs_raw, 0), {n_words}) AS n_errs,
+       CASE WHEN {n_words} <= coalesce(e.n_errs_raw, 0) THEN 0.0
+            ELSE round(({n_words} - e.n_errs_raw) / {n_words} * 100, 3)
+       END AS quality_ratio
+FROM _ps p LEFT JOIN _err e
+  ON e.doc_id = p.doc_id AND e.media_ref = p.media_ref"""
+
+
+def q43_rtl_spark(spark, sf_dir):
+    """O3/T8: directional-mark strip + RTL token fold for RTL-language docs."""
+    from ..operators.tokens import reversed_line, strip_marks
+
+    load_views(spark, sf_dir)
+    spans = spark.sql(
+        f"WITH {derive.spans_cte(SPARK)} SELECT * FROM spans_input WHERE kind = 'text'"
+    )
+    dm = _doc_meta_df(spark, sf_dir).where(
+        F.arrays_overlap("languages", F.array(F.lit("ara"), F.lit("heb")))
+    ).select("doc_id")
+    return spans.join(F.broadcast(dm), "doc_id").select(
+        "doc_id",
+        "media_ref",
+        "offset",
+        reversed_line(strip_marks(F.col("text"))).alias("rtl_text"),
+    )
+
+
+def _q43_oracle() -> str:
+    from ..constants import CLEAR_MARKS
+
+    marks = derive.sql_str(CLEAR_MARKS, DUCKDB)
+    return f"""WITH {derive.spans_cte(DUCKDB)},
+{derive.meta_cte(DUCKDB)}
+SELECT s.doc_id, s.media_ref, s.offset,
+       array_to_string(
+         list_reverse(string_split(translate(s.text, {marks}, ''), ' ')), ' ')
+         AS rtl_text
+FROM spans_input s
+JOIN doc_meta_input d ON d.doc_id = s.doc_id
+WHERE s.kind = 'text'
+  AND (list_contains(d.languages, 'ara') OR list_contains(d.languages, 'heb'))"""
+
+
+def q44_process_stats_spark(spark, sf_dir):
+    """Unified per-doc process_statistics record (languages, page counts,
+    ocrable counts, missing links, MB, megapixels)."""
+    from .pipeline import process_statistics
+
+    pm = _page_meta_df(spark, sf_dir)
+    out = process_statistics(
+        _doc_meta_df(spark, sf_dir), pm, media=_page_media_df(pm)
+    )
+    return out.select(
+        "doc_id", "languages", "n_images_pages", "n_images_ocrable",
+        "n_links_missing", "mb", "mps",
+    )
+
+
+Q44_ORACLE = _meta_oracle(
+    """SELECT a.doc_id,
+       array_to_string(d.languages, '+') AS languages,
+       a.n_images_pages, a.n_images_ocrable, a.n_links_missing, a.mb, a.mps
+FROM (
+  SELECT doc_id, cast(count(*) AS bigint) AS n_images_pages,
+         cast(sum(CASE WHEN NOT (label LIKE '%Colorchecker%'
+                                 OR label LIKE '%Leerseite%'
+                                 OR list_contains(log_types, 'cover_front')
+                                 OR list_contains(log_types, 'cover_back'))
+                        AND media_ref IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
+           AS n_images_ocrable,
+         cast(sum(CASE WHEN len(log_types) = 0 THEN 1 ELSE 0 END) AS bigint)
+           AS n_links_missing,
+         round(sum(n_bytes) / 1048576.0, 2) AS mb,
+         round(sum(round(width * height / 1000000.0, 2)), 2) AS mps
+  FROM page_meta_input GROUP BY doc_id
+) a JOIN doc_meta_input d ON d.doc_id = a.doc_id"""
+)
+
+
+def q45_latest_agent_spark(spark, sf_dir):
+    """O5: newest agent entry per document (Derivans latest-agent sort)."""
+    from ..operators.linking import latest_agent
+
+    load_views(spark, sf_dir)
+    agents = spark.sql(
+        "SELECT cast(user_id AS string) AS doc_id, "
+        "concat(event_type, ' V1.', cast(event_id % 7 AS string)) AS agent, ts "
+        "FROM events"
+    )
+    out = latest_agent(agents)
+    return out.select(
+        "doc_id", "agent", F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s")
+    )
+
+
+Q45_ORACLE = """WITH _ag AS (
+  SELECT cast(user_id AS varchar) AS doc_id,
+         concat(event_type, ' V1.', cast(event_id % 7 AS varchar)) AS agent, ts
+  FROM events
+),
+_r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY ts DESC, agent DESC) AS rn
+  FROM _ag
+)
+SELECT doc_id, agent, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM _r WHERE rn = 1"""
+
+
 def _named_sql(template: str) -> tuple[Callable, str]:
     spark_sql = template.replace("{STR}", "string")
     duck_sql = template.replace("{STR}", "varchar")
@@ -874,6 +1192,17 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     reg["q28_document_profile"] = (q28_spark, _q28_oracle())
     reg["q29_simhash_neardup"] = (q29_simhash_spark, Q29_ORACLE)
     reg["q30_lsh_ann_topk"] = (q30_lsh_ann_spark, Q30_ORACLE)
+    reg["q35_relevance_filter"] = (q35_relevance_spark, Q35_ORACLE)
+    reg["q36_blacklisted_pages"] = (q36_blacklist_spark, Q36_ORACLE)
+    reg["q37_missing_links"] = (q37_missing_links_spark, Q37_ORACLE)
+    reg["q38_model_config"] = (q38_model_config_spark, Q38_ORACLE)
+    reg["q39_identifier_resolution"] = (q39_identifier_spark, Q39_ORACLE)
+    reg["q40_page_enrichment"] = (q40_page_enrich_spark, Q40_ORACLE)
+    reg["q41_media_stats"] = (q41_media_stats_spark, Q41_ORACLE)
+    reg["q42_quality_vocab"] = (q42_quality_vocab_spark, _q42_oracle())
+    reg["q43_rtl_reversal"] = (q43_rtl_spark, _q43_oracle())
+    reg["q44_process_statistics"] = (q44_process_stats_spark, Q44_ORACLE)
+    reg["q45_latest_agent"] = (q45_latest_agent_spark, Q45_ORACLE)
     reg["q14_resume_antijoin"] = (q14_resume_antijoin_spark, Q14_ORACLE)
     reg["q31_events_rollup"] = (q31_events_rollup_spark, Q31_ORACLE)
     reg["q33_estimation_bins"] = (q33_estimation_bins_spark, Q33_ORACLE)

@@ -131,3 +131,48 @@ def test_rtl_doc_via_doc_meta(spark):
            for r in pipeline.extract(docs, doc_meta=doc_meta).collect()}
     assert out["d_rtl"] == ["jiim baa alif"]  # folded right-to-left, mark stripped
     assert out["d_ltr"] == ["eins zwei drei"]
+
+
+def test_latest_agent(spark):
+    """O5: newest agent per doc wins; timestamp ties break by agent name."""
+    import datetime as dt
+
+    rows = [
+        ("d1", "Derivans V1.0", dt.datetime(2021, 1, 1, 10)),
+        ("d1", "Derivans V1.3", dt.datetime(2022, 5, 2, 9)),
+        ("d1", "ocrd V2", dt.datetime(2022, 5, 1, 9)),
+        ("d2", "alpha", dt.datetime(2020, 1, 1)),
+        ("d2", "beta", dt.datetime(2020, 1, 1)),  # tie -> 'beta' (name desc)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, agent string, ts timestamp")
+    got = {r["doc_id"]: r["agent"] for r in linking.latest_agent(df).collect()}
+    assert got == {"d1": "Derivans V1.3", "d2": "beta"}
+
+
+def test_process_statistics(spark, doc_meta_df, page_meta_df):
+    """Unified per-doc record: page counts, ocrable counts, missing links,
+    joined languages — consistent with the standalone operators."""
+    from pyspark.sql import functions as F
+
+    out = {r["doc_id"]: r
+           for r in pipeline.process_statistics(doc_meta_df, page_meta_df).collect()}
+    pages = {}
+    for r in page_meta_df.collect():
+        pages.setdefault(r["doc_id"], []).append(r)
+    langs = {r["doc_id"]: "+".join(r["languages"]) for r in doc_meta_df.collect()}
+
+    def blacklisted(r):
+        label_hit = any(t in (r["label"] or "") for t in ("Colorchecker", "Leerseite"))
+        type_hit = any(t in (r["log_types"] or []) for t in ("cover_front", "cover_back"))
+        return label_hit or type_hit
+
+    for doc_id, rows in pages.items():
+        got = out[doc_id]
+        assert got["n_images_pages"] == len(rows)
+        assert got["n_images_ocrable"] == sum(
+            1 for r in rows if not blacklisted(r) and r["media_ref"] is not None
+        )
+        assert got["n_links_missing"] == sum(
+            1 for r in rows if not r["log_types"]
+        )
+        assert got["languages"] == langs[doc_id]
