@@ -27,7 +27,8 @@ _XLINK = "{http://www.w3.org/1999/xlink}"
 
 DOC_META_OUT = (
     "doc_id string, mets_type string, pica_type string, "
-    "identifiers map<string,string>, languages array<string>, error string"
+    "identifiers map<string,string>, languages array<string>, "
+    "validation array<string>, error string"
 )
 PAGE_META_OUT = (
     "doc_id string, media_ref string, phys_id string, label string, "
@@ -127,12 +128,32 @@ def parse_mets(payload: bytes | str, file_group: str = "MAX") -> dict:
                 }
             )
 
+    # --- structural validation channel --------------------------------------
+    # analogue of the reference's validate_mets + inspection exceptions
+    # (mets.py:501-518 schema gate; ODEMNoTypeForOCRException /
+    # ODEMMetadataMetsException / ODEMNoImagesForOCRException,
+    # mets.py:31-53,107-122,256-263): one error STRING per violated
+    # structural invariant — a data channel, never a task failure.
+    validation: list[str] = []
+    if mets_type is None:
+        validation.append("found no logical type")
+    if not pages:
+        validation.append("contains no physical pages")
+    if not href_by_file_id:
+        validation.append(f"contains no images in fileGrp '{file_group}'")
+    n_unlinked = sum(1 for p in pages if p["link_error"])
+    if n_unlinked:
+        validation.append(f"{n_unlinked}x: pages not linked")
+    if not identifiers:
+        validation.append("found no record identifier")
+
     return {
         "doc": {
             "mets_type": mets_type,
             "pica_type": pica,
             "identifiers": identifiers,
             "languages": languages,
+            "validation": validation,
         },
         "pages": pages,
     }
@@ -155,14 +176,14 @@ def shred_mets(df, payload_col: str = "mets_xml", file_group: str = "MAX"):
                     d = parsed["doc"]
                     rows.append(
                         (rec.doc_id, d["mets_type"], d["pica_type"],
-                         d["identifiers"], d["languages"], None)
+                         d["identifiers"], d["languages"], d["validation"], None)
                     )
                 except ET.ParseError as exc:
-                    rows.append((rec.doc_id, None, None, None, None, str(exc)))
+                    rows.append((rec.doc_id, None, None, None, None, None, str(exc)))
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "mets_type", "pica_type",
-                         "identifiers", "languages", "error"],
+                         "identifiers", "languages", "validation", "error"],
             )
 
     def run_pages(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -187,3 +208,49 @@ def shred_mets(df, payload_col: str = "mets_xml", file_group: str = "MAX"):
         df.mapInPandas(run_docs, schema=DOC_META_OUT),
         df.mapInPandas(run_pages, schema=PAGE_META_OUT),
     )
+
+
+def scrub_file_groups(payload: bytes | str, removals: list[str]) -> bytes:
+    """S6-adjacent: drop blacklisted fileGrps and unlink their fptrs
+    (reference ``modify_mets_groups`` -> ``clear_filegroups``,
+    ``odem_process_impl.py:155-171`` / ``mets.py:423-430`` — e.g. DOWNLOAD /
+    THUMBS / DEFAULT created by the repository software).
+
+    Pure function payload -> payload so it composes as a pre-shred stage.
+    """
+    if isinstance(payload, str):
+        payload = payload.encode("utf-8")
+    root = ET.fromstring(payload)
+    removed_ids: set[str] = set()
+    for sec in root.iter(f"{_METS}fileSec"):
+        for grp in list(sec):
+            if grp.tag == f"{_METS}fileGrp" and grp.get("USE") in removals:
+                for f in grp.iter(f"{_METS}file"):
+                    removed_ids.add(f.get("ID", ""))
+                sec.remove(grp)
+    if removed_ids:
+        for div in root.iter(f"{_METS}div"):
+            for fptr in list(div):
+                if (
+                    fptr.tag == f"{_METS}fptr"
+                    and fptr.get("FILEID", "") in removed_ids
+                ):
+                    div.remove(fptr)
+    return ET.tostring(root)
+
+
+def scrub_mets(df, removals: list[str], payload_col: str = "mets_xml"):
+    """Arrow-batched pre-shred scrub stage: (doc_id, mets_xml) -> same shape
+    with blacklisted fileGrps removed."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = pdf.copy()
+            out[payload_col] = [
+                scrub_file_groups(x, removals).decode("utf-8")
+                for x in out[payload_col]
+            ]
+            yield out
+
+    return df.mapInPandas(run, schema=df.schema)
