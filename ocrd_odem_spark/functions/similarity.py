@@ -169,6 +169,47 @@ def _int_signatures_arrow(df: DataFrame, id_col: str, vec_col: str, tables) -> D
     )
 
 
+def cosine_near_duplicates(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    int_tables: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (id_a < id_b, sim >= threshold).
+
+    Scale path: candidates come from the sign-signature bucket equi-join
+    (any shared (table, signature) bucket), never an all-pairs cross join —
+    at 10^12 rows the shuffled payload is (id, vec, T signatures), and the
+    cosine runs only on bucket collisions.  Recall follows the
+    random-hyperplane collision bound; raise ``n_tables`` for tighter
+    thresholds.  With ``int_tables`` the bucketing is exactly reproducible
+    cross-engine (see ``portable_int_planes``)."""
+    tables = int_tables if int_tables is not None else [
+        hyperplanes(64, 6, 42 + 1000 * t) for t in range(8)
+    ]
+    stage = _int_signatures_arrow if int_tables is not None else _signatures_arrow
+    sigs = stage(corpus, id_col, vec_col, tables)
+    a = sigs.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("_va"),
+        F.posexplode("sigs").alias("t", "sig"),
+    )
+    b = sigs.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("_vb"),
+        F.posexplode("sigs").alias("t", "sig"),
+    )
+    pairs = (
+        a.join(b, ["t", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("sim"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("sim") >= threshold)
+
+
 def rh_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane sign signature packed into a long."""
     sig = F.lit(0).cast("long")

@@ -782,7 +782,9 @@ def q30_lsh_ann_spark(spark, sf_dir):
     )
 
 
-Q30_ORACLE = """WITH _pl AS (
+# integer-plane signature CTE shared by the q30/q46 oracles — mirrors
+# portable_int_planes + the floor(v * 2^20) quantization exactly
+_SIG_CTE = """_pl AS (
   SELECT t, p,
          list_transform(range(0, 64), d ->
            ('0x' || substr(md5('ann_' || t || '_' || p || '_' || d), 1, 13))::BIGINT
@@ -800,7 +802,10 @@ _sig AS (
                   THEN (1::BIGINT << pl.p) ELSE 0::BIGINT END) AS sig
   FROM _sv s, _pl pl
   GROUP BY s.vec_id, pl.t
-),
+)"""
+
+
+Q30_ORACLE = f"""WITH {_SIG_CTE},
 _cand AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
   FROM _sig c JOIN _sig q ON c.t = q.t AND c.sig = q.sig
@@ -1143,6 +1148,39 @@ SELECT doc_id, agent, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
 FROM _r WHERE rn = 1"""
 
 
+def q46_cosine_neardup_spark(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via LSH bucket collisions (the
+    synthetic embeddings are near-orthogonal, so the threshold sits at the
+    collision distribution's right tail to keep the check non-trivial)."""
+    from ..functions.similarity import cosine_near_duplicates, portable_int_planes
+
+    load_views(spark, sf_dir)
+    return cosine_near_duplicates(
+        spark.table("embeddings"), threshold=0.3,
+        int_tables=portable_int_planes(64, 6, 8),
+    )
+
+
+Q46_ORACLE = f"""WITH {_SIG_CTE},
+_cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM _sig a JOIN _sig b
+    ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
+             6) AS sim
+FROM _cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE round(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+            / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))),
+            6) >= 0.3"""
+
+
 def _named_sql(template: str) -> tuple[Callable, str]:
     spark_sql = template.replace("{STR}", "string")
     duck_sql = template.replace("{STR}", "varchar")
@@ -1203,6 +1241,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     reg["q43_rtl_reversal"] = (q43_rtl_spark, _q43_oracle())
     reg["q44_process_statistics"] = (q44_process_stats_spark, Q44_ORACLE)
     reg["q45_latest_agent"] = (q45_latest_agent_spark, Q45_ORACLE)
+    reg["q46_cosine_neardup"] = (q46_cosine_neardup_spark, Q46_ORACLE)
     reg["q14_resume_antijoin"] = (q14_resume_antijoin_spark, Q14_ORACLE)
     reg["q31_events_rollup"] = (q31_events_rollup_spark, Q31_ORACLE)
     reg["q33_estimation_bins"] = (q33_estimation_bins_spark, Q33_ORACLE)

@@ -255,3 +255,28 @@ def test_simhash_agg_equals_hof(spark):
     ra = {r["id"]: r["sh"] for r in a.collect()}
     rb = {r["id"]: r["sh"] for r in b.collect()}
     assert ra == rb
+
+
+def test_cosine_near_duplicates(spark):
+    """Planted near-duplicates are found via bucket collisions; the pair
+    set never contains self-pairs or sub-threshold similarity."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    near = [v + rng.gauss(0, 0.02) for v in base]  # cosine ~0.999
+    far = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(20)]
+    rows = [(0, base), (1, near)] + [(i + 2, v) for i, v in enumerate(far)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    got = similarity.cosine_near_duplicates(
+        emb, threshold=0.9,
+        int_tables=similarity.portable_int_planes(64, 6, 8),
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["sim"] for r in got}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    for (a, b), sim in pairs.items():
+        assert a < b and sim >= 0.9
