@@ -189,25 +189,29 @@ def cosine_near_duplicates(
         hyperplanes(64, 6, 42 + 1000 * t) for t in range(8)
     ]
     stage = _int_signatures_arrow if int_tables is not None else _signatures_arrow
-    sigs = stage(corpus, id_col, vec_col, tables)
-    a = sigs.select(
-        F.col("id").alias("id_a"), F.col("vec").alias("_va"),
-        F.posexplode("sigs").alias("t", "sig"),
-    )
-    b = sigs.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("_vb"),
-        F.posexplode("sigs").alias("t", "sig"),
-    )
-    pairs = (
+    # materialize the signature table once: both join sides read it, and
+    # Catalyst would otherwise run the Arrow signature stage twice (the
+    # DataFrame mirror of 'write the signature table first' at production
+    # scale — same pattern as the q26 minhash table)
+    sigs = stage(corpus, id_col, vec_col, tables).localCheckpoint(eager=True)
+    a = sigs.select(F.col("id").alias("id_a"), F.posexplode("sigs").alias("t", "sig"))
+    b = sigs.select(F.col("id").alias("id_b"), F.posexplode("sigs").alias("t", "sig"))
+    # dedup candidate pairs ACROSS tables before scoring — the cosine runs
+    # once per unique pair, not once per bucket collision (a pair colliding
+    # in all 8 tables would otherwise be scored 8x)
+    cand = (
         a.join(b, ["t", "sig"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("sim"),
-        )
+        .select("id_a", "id_b")
         .distinct()
     )
-    return pairs.where(F.col("sim") >= threshold)
+    va = sigs.select(F.col("id").alias("id_a"), F.col("vec").alias("_va"))
+    vb = sigs.select(F.col("id").alias("id_b"), F.col("vec").alias("_vb"))
+    scored = cand.join(va, "id_a").join(vb, "id_b").select(
+        "id_a", "id_b",
+        F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("sim"),
+    )
+    return scored.where(F.col("sim") >= threshold)
 
 
 def rh_signature(vec: Column, planes: list[list[float]]) -> Column:

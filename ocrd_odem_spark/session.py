@@ -47,6 +47,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # JVM tuning hook (e.g. GC choice) — local mode runs everything in the
+    # driver JVM, so driver options govern executor threads too
+    java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     for key, val in (extra_conf or {}).items():
         builder = builder.config(key, val)
     return builder.getOrCreate()

@@ -152,3 +152,55 @@ def test_scrub_file_groups(spark):
     out = scrub_mets(df, ["DOWNLOAD", "THUMBS", "DEFAULT"]).collect()[0]
     root2 = ET.fromstring(out["mets_xml"].encode("utf-8"))
     assert {g.get("USE") for g in root2.iter(f"{M}fileGrp")} == after
+
+
+def test_golden_integrate_ocr_linking_4_of_4(spark):
+    """integrate_ocr_file golden (4 linked, 0 passed): every 42296 ALTO
+    page links to exactly one MAX image by stem containment
+    (``tests/test_odem_processing_mets.py:387-404``) — here as the J3
+    first-match-wins join."""
+    import glob
+    import xml.etree.ElementTree as ET
+
+    from pyspark.sql import Row
+
+    from ocrd_odem_spark.operators.linking import link_ocr_to_media
+    from ocrd_odem_spark.xmlparse import shred_xml
+
+    # OCR side: the four ALTO files; all have content (none 'passed')
+    files = sorted(glob.glob(os.path.join(RES, "1981185920_42296_FULLTEXT", "*.xml")))
+    stems = [os.path.splitext(os.path.basename(f))[0] for f in files]
+    parsed = shred_xml(
+        spark.createDataFrame(
+            [Row(doc_id="42296", media_ref=s, xml=open(f, encoding="utf-8").read())
+             for s, f in zip(stems, files)]
+        ),
+        min_len=0,
+    )
+    lines_per_file = {
+        r["media_ref"]: r["n"]
+        for r in parsed.groupBy("media_ref").count().withColumnRenamed("count", "n").collect()
+    }
+    assert all(lines_per_file[s] > 0 for s in stems)  # 0 would be 'passed'
+
+    # media side: MAX fileGrp hrefs from the real METS
+    M = "{http://www.loc.gov/METS/}"
+    X = "{http://www.w3.org/1999/xlink}"
+    root = ET.parse(os.path.join(RES, "1981185920_42296.xml")).getroot()
+    media_rows = []
+    for grp in root.iter(f"{M}fileGrp"):
+        if grp.get("USE") != "MAX":
+            continue
+        for f in grp.iter(f"{M}file"):
+            loc = f.find(f"{M}FLocat")
+            href = loc.get(f"{X}href", "")
+            media_rows.append(Row(doc_id="42296",
+                                  media_ref=href.rsplit("/", 1)[-1], href=href))
+    assert media_rows
+
+    ocr = spark.createDataFrame([Row(doc_id="42296", ocr_stem=s) for s in stems])
+    media = spark.createDataFrame(media_rows)
+    linked = link_ocr_to_media(ocr, media).collect()
+    # golden: (4, 0) — all four link, each exactly once
+    assert len(linked) == 4
+    assert {r["ocr_stem"] for r in linked} == set(stems)
