@@ -125,3 +125,32 @@ def test_geometry_text_projection_equals_text_path(spark):
     ).collect()
     for r in out:
         assert r["geom_texts"] == r["text_texts"], r["line_id"]
+
+
+def test_geometry_random_tokens_property(spark):
+    """Adversarial random geometry tokens: Spark == the reference-math
+    mirror for every (text, width) combination incl. width 0, len 1,
+    unicode punctuation, pure whitespace."""
+    import itertools
+
+    from pyspark.sql import Row
+
+    texts = ["a", "ab", "ab.", "a.", ".", "...", "⸗", "—", "wort⸗", "x-",
+             "-", " ", "  ", " ν", "a ", "Jch,", "zu-", "..", "St.", ""]
+    widths = [0, 1, 7, 100, 999]
+    toks = [
+        {"text": t, "hpos": 10 * i, "vpos": 5, "width": w, "height": 20}
+        for i, (t, w) in enumerate(itertools.product(texts, widths))
+        if t  # empty CONTENT never reaches the splitter in the reference
+    ]
+    df = spark.createDataFrame(
+        [Row(i=0, tokens=toks)], f"i int, tokens array<{GEOM_TOKEN_T}>"
+    )
+    got = [
+        s.asDict()
+        for s in df.select(
+            postprocess_geom_tokens(F.col("tokens")).alias("out")
+        ).collect()[0]["out"]
+    ]
+    want = [x for t in toks for x in _expected(t)]
+    assert got == want

@@ -154,8 +154,12 @@ def test_process_statistics(spark, doc_meta_df, page_meta_df):
     joined languages — consistent with the standalone operators."""
     from pyspark.sql import functions as F
 
-    out = {r["doc_id"]: r
-           for r in pipeline.process_statistics(doc_meta_df, page_meta_df).collect()}
+    stats = pipeline.process_statistics(doc_meta_df, page_meta_df)
+    # the doc-dimension join must broadcast — the fact side never shuffles
+    # for the join (one exchange total: the page aggregation)
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    out = {r["doc_id"]: r for r in stats.collect()}
     pages = {}
     for r in page_meta_df.collect():
         pages.setdefault(r["doc_id"], []).append(r)
