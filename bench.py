@@ -174,28 +174,22 @@ def main() -> None:
         # clean core-bound measurement.
         scaling_mode = "hof"
 
-        def probe(cores: int, replicate: int, rounds: int = 3, warmup: bool = True) -> dict:
+        def run_once(cores: int, replicate: int, warmup: bool = True) -> dict:
             env = os.environ.copy()
-            # 12g measured fastest across a 6-48g sweep (see main());
-            # best-of-3 because the shared host swings 3-6x between runs
+            # 12g + relaxed-pause G1 measured fastest (see main())
             env.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
             env.setdefault(
                 "SPARK_GRAFT_JAVA_OPTS", "-XX:+UseG1GC -XX:MaxGCPauseMillis=400"
             )
-            best = None
-            for _ in range(rounds):
-                cmd = [sys.executable, os.path.abspath(__file__), "--flagship-only",
-                       "--cores", str(cores), "--replicate", str(replicate),
-                       "--mode", scaling_mode]
-                if not warmup:
-                    cmd.append("--no-warmup")
-                proc = subprocess.run(
-                    cmd, capture_output=True, text=True, env=env, check=True,
-                )
-                r = json.loads(proc.stdout.strip().splitlines()[-1])
-                if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
-                    best = r
-            return best
+            cmd = [sys.executable, os.path.abspath(__file__), "--flagship-only",
+                   "--cores", str(cores), "--replicate", str(replicate),
+                   "--mode", scaling_mode]
+            if not warmup:
+                cmd.append("--no-warmup")
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, env=env, check=True,
+            )
+            return json.loads(proc.stdout.strip().splitlines()[-1])
 
         # ONE corpus for every level; two N->4N pairs: 2->8 on uncontended
         # cores, 8->32 at machine saturation (this VM's own ceiling for
@@ -203,25 +197,39 @@ def main() -> None:
         # BENCH/BASELINE.md).  Long (2-core) runs self-average host noise so
         # they run once without a warm-up duplicate; short runs take
         # best-of-2 because the shared host fluctuates +-40%.
-        rep = max(args.replicate // 2, 16)
+        # LONG runs: at replicate 24 the 32-core flagship finishes in ~5s,
+        # where JVM/JIT/first-task startup eats a far larger fraction than
+        # in the ~12s 8-core run — the N-vs-4N ratio was startup-biased by
+        # ~40% (measured 0.46 at rep=24 vs 0.78 at rep=96, same window)
+        rep = max(args.replicate * 2, 96)
         prep = _session(32)
         prep.sparkContext.setLogLevel("ERROR")
         prepare_corpus(prep, sf_dir, rep)
         prep.stop()
-        r2 = probe(2, rep, rounds=1, warmup=False)
-        r8 = probe(8, rep, rounds=2)
-        r32 = probe(32, rep, rounds=2)
-        r8s = r8
+        # PAIRED measurement: the host's throughput swings 2-3x between
+        # minutes, so best-of-N PER LEVEL pairs numbers from different
+        # noise windows and corrupts the ratio (an unlucky-n32/lucky-n8
+        # pairing once read 0.42 where an adjacent same-window pair read
+        # 0.78).  Run (n8, n32) back-to-back per round, compute efficiency
+        # per adjacent pair, report the MEDIAN pair.
+        r2 = run_once(2, rep, warmup=False)
+        pairs = []
+        for _ in range(3):
+            p8 = run_once(8, rep)
+            p32 = run_once(32, rep)
+            pairs.append((p8, p32, round(
+                p32["docs_per_sec"] / (4 * p8["docs_per_sec"]), 3)))
+        pairs_by_eff = sorted(pairs, key=lambda p: p[2])
+        r8, r32, eff_high = pairs_by_eff[len(pairs_by_eff) // 2]
         eff_low = round(r8["docs_per_sec"] / (4 * r2["docs_per_sec"]), 3)
-        eff_high = round(r32["docs_per_sec"] / (4 * r8["docs_per_sec"]), 3)
         result = {
             "metric": "extract_dehyph_scaling", "unit": "docs/sec", "sf": sf,
             "throughput_n2": r2["docs_per_sec"],
-            "throughput_n8_small": r8s["docs_per_sec"],
             "throughput_n8": r8["docs_per_sec"],
             "throughput_n32": r32["docs_per_sec"],
             "scaling_efficiency_2_to_8": eff_low,
             "scaling_efficiency_8_to_32": eff_high,
+            "pair_efficiencies": [p[2] for p in pairs],
             "n_docs": r32["n_docs"],
         }
         reports = {8: r8, 32: r32}
@@ -243,11 +251,14 @@ def main() -> None:
                 f"| local[8]  | {t8} | {reports[8]['elapsed_sec']} | {reports[8]['n_docs']} |\n"
                 f"| local[32] | {t32} | {reports[32]['elapsed_sec']} | {reports[32]['n_docs']} |\n\n"
                 f"**Scaling efficiency N→4N: 2→8 cores = {eff_low}; "
-                f"8→32 cores = {eff_high}** (requirement: ≥ 0.8).\n\n"
+                f"8→32 cores = {eff_high}** (requirement: ≥ 0.8; median of "
+                f"adjacent same-window pairs {[p[2] for p in pairs]}).\n\n"
                 "Protocol notes: the shared host's wall clock fluctuates with\n"
-                "neighbor load (CPU steal measured 0.4-7% idle/loaded, worse in\n"
-                "bursts), so short runs take best-of-2 and the long 2-core run\n"
-                "self-averages.  The extraction plan itself adds no serial\n"
+                "neighbor load (2-3x between minutes), so (n8, n32) run\n"
+                "back-to-back per round and the MEDIAN pair efficiency is\n"
+                "reported; the long 2-core run self-averages.  Runs are sized\n"
+                "(replicate>=96) so JVM/JIT startup is amortized at 32 cores.\n"
+                "The extraction plan itself adds no serial\n"
                 "stage — no shuffle, no driver-side loop — so scaling is\n"
                 "bounded by input splits and the host, not the plan.\n\n"
                 "Measured on the pure-JVM (hof) execution mode: in local mode\n"

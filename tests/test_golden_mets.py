@@ -204,3 +204,46 @@ def test_golden_integrate_ocr_linking_4_of_4(spark):
     # golden: (4, 0) — all four link, each exactly once
     assert len(linked) == 4
     assert {r["ocr_stem"] for r in linked} == set(stems)
+
+
+def test_golden_ocr_statistics(spark):
+    """calculate_statistics_ocr goldens (``tests/test_processing.py:519-583``):
+    MB sum 3.24, n_ocr 5, loss ['00000005'], MPS histogram [(3.9, 4)] —
+    via media_stats, loss_set and megapixel_histogram."""
+    from pyspark.sql import Row
+
+    from ocrd_odem_spark.functions.multimodal import media_stats, megapixel_histogram
+    from ocrd_odem_spark.operators.linking import loss_set
+
+    fsizes_mb = [0.5577, 0.6628, 0.6748, 0.6669, 0.6753]
+    media = spark.createDataFrame(
+        [
+            Row(
+                doc_id="1981185920_44046",
+                meta=Row(
+                    # 1695 * 2297 = 3_893_415 -> exactly the golden 3.893415 MPs
+                    width=1695, height=2297, dpi=None,
+                    n_bytes=int(mb * 1048576), duration_ms=None,
+                ),
+            )
+            for mb in fsizes_mb
+        ],
+        "doc_id string, meta struct<width:int,height:int,dpi:int,"
+        "n_bytes:bigint,duration_ms:bigint>",
+    )
+    stats = media_stats(media).collect()[0]
+    assert stats["n_media"] == 5
+    assert stats["mb"] == 3.24
+
+    # loss case: OCR result for 00000005 missing (:552-583)
+    cands = spark.createDataFrame(
+        [Row(doc_id="d", stem=f"0000000{i}") for i in (2, 3, 4, 5, 6)]
+    )
+    results = spark.createDataFrame(
+        [Row(doc_id="d", stem=f"0000000{i}") for i in (2, 3, 4, 6)]
+    )
+    loss = loss_set(cands, results).collect()
+    assert [(r["stem"], r["side"]) for r in loss] == [("00000005", "no_result")]
+
+    hist = megapixel_histogram(media.limit(4)).collect()
+    assert [(r["mps"], r["n"]) for r in hist] == [(3.9, 4)]
