@@ -268,3 +268,38 @@ def test_golden_filename_page_id_enrichment(spark):
     urn = "urn+nbn+de+gbv+3+1-121915-p0159-6_ger"
     assert got[urn]["page_id_bare"] == urn
     assert got[urn]["file_name"] == f"{urn}.xml"
+
+
+def test_real_xml_end_to_end_extract_equals_oracle(spark):
+    """Capstone: the reference's own Fraktur ALTO pages, shredded into the
+    span contract and run through the full extract+dehyphenate pipeline in
+    BOTH execution modes, are span-sequence-equal to the Python oracle."""
+    from ocrd_odem_spark import oracle
+    from ocrd_odem_spark.plans import pipeline
+    from ocrd_odem_spark.xmlparse import parsed_to_spans
+
+    files = sorted(glob.glob(os.path.join(RES, "1981185920_42296_FULLTEXT", "*.xml")))
+    rows = [
+        Row(
+            doc_id="1981185920_42296",
+            media_ref=os.path.splitext(os.path.basename(f))[0],
+            xml=open(f, encoding="utf-8").read(),
+        )
+        for f in files
+    ]
+    docs = parsed_to_spans(shred_xml(spark.createDataFrame(rows))).cache()
+    in_spans = docs.collect()[0]["spans"]
+    golden = [
+        (s["kind"], s["text"], s["media_ref"], s["offset"])
+        for s in oracle.extract_document_dehyphenated(
+            [s.asDict() for s in in_spans]
+        )
+    ]
+    assert len(golden) > 80  # real content survived
+    for mode in ("hof", "arrow"):
+        out = pipeline.extract(docs, dehyphenate=True, mode=mode).collect()
+        got = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in out[0]["spans"]
+        ]
+        assert got == golden, mode
