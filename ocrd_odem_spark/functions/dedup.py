@@ -45,17 +45,67 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     )
 
 
-def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(text_hash, n_docs, keep_id, dup_ids) for every duplicated text."""
-    return (
-        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.min(id_col).alias("keep_id"),
-            F.sort_array(F.collect_list(id_col)).alias("all_ids"),
-        )
-        .where(F.col("n_docs") > 1)
+def exact_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_group: int = 64,
+    with_stats: bool = False,
+):
+    """(text_hash, n_docs, keep_id, all_ids) for every duplicated text.
+
+    ``n_docs`` is the TRUE group size; ``all_ids`` is a bounded sample — the
+    ``max_group`` smallest ids of the group (always containing ``keep_id``).
+    The cap is enforced with a ``row_number()`` window BEFORE the
+    ``collect_list`` aggregation, so one boilerplate text duplicated 10^8
+    times never materialises 10^8 ids in a single agg buffer: the window
+    sorts and streams, the group count comes from an unbounded ``count``
+    over the same partitioning (one exchange total), and the later
+    ``collect_list`` only ever sees <= max_group rows per hash.
+
+    Truncation is observable, not silent: ``with_stats=True`` returns
+    ``(dupes, stats)`` where stats is a 1-row frame with ``n_groups``
+    (duplicated-text groups), ``n_oversized_groups`` and ``n_dropped_ids``
+    (documents omitted from ``all_ids`` samples by the cap — exact here,
+    unlike the banded MinHash membership stat, because each id belongs to
+    exactly one hash group).
+    """
+    from pyspark.sql import Window
+
+    hashed = df.select(
+        F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("_id")
     )
+    w = Window.partitionBy("text_hash").orderBy("_id")
+    w_full = Window.partitionBy("text_hash")
+    ranked = hashed.select(
+        "text_hash",
+        "_id",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(w_full).cast("long").alias("_n"),
+    ).where(F.col("_n") > 1)
+    dupes = (
+        ranked.where(F.col("_rn") <= max_group)
+        .groupBy("text_hash")
+        .agg(
+            F.first("_n").alias("n_docs"),
+            F.min("_id").alias("keep_id"),
+            F.sort_array(F.collect_list("_id")).alias("all_ids"),
+        )
+    )
+    if not with_stats:
+        return dupes
+    stats = (
+        ranked.groupBy("text_hash")
+        .agg(F.first("_n").alias("n"))
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum((F.col("n") > max_group).cast("long")).alias("n_oversized_groups"),
+            F.sum(F.greatest(F.col("n") - max_group, F.lit(0)))
+            .cast("long")
+            .alias("n_dropped_ids"),
+        )
+    )
+    return dupes, stats
 
 
 def minhash_lsh_candidates(
@@ -79,8 +129,12 @@ def minhash_lsh_candidates(
 
     Truncation is observable, not silent: ``with_stats=True`` returns
     ``(pairs, stats)`` where stats is a 1-row frame with ``n_buckets``,
-    ``n_oversized_buckets`` and ``n_dropped_ids`` (ids excluded from pair
-    generation by the cap).
+    ``n_oversized_buckets`` and ``n_dropped_memberships`` — the number of
+    (band, bucket) MEMBERSHIPS dropped by the cap, summed across all bands.
+    An id capped in one band can still pair via another band, so this
+    intentionally over-counts relative to "documents excluded from pair
+    generation"; it is a shuffle-volume / truncation-pressure gauge, not a
+    recall-loss count.
     """
     rows = num_hashes // bands
     sig = df.select(
@@ -138,7 +192,7 @@ def minhash_lsh_candidates(
             F.sum((F.col("n") > max_bucket).cast("long")).alias("n_oversized_buckets"),
             F.sum(F.greatest(F.col("n") - max_bucket, F.lit(0)))
             .cast("long")
-            .alias("n_dropped_ids"),
+            .alias("n_dropped_memberships"),
         )
     )
     return pairs, stats

@@ -34,14 +34,26 @@ def pages_with_log_types(page_meta: DataFrame) -> DataFrame:
     )
 
 
-def link_ocr_to_media(ocr_files: DataFrame, media: DataFrame) -> DataFrame:
+def link_ocr_to_media(
+    ocr_files: DataFrame, media: DataFrame, broadcast_media: bool = False
+) -> DataFrame:
     """J3: link OCR results to media by stem containment, first match wins.
 
     ``ocr_files``: (doc_id, ocr_stem); ``media``: (doc_id, media_ref,
     href).  A stem links to the first (by media_ref order) href containing
-    it — reproducing the reference's first-match-wins loop.
+    it — reproducing the reference's first-match-wins loop
+    (``/root/reference/lib/odem/processing/mets.py:334-414``).
+
+    The join is keyed on ``doc_id`` (equi-join; the containment is a
+    post-filter), so the media table — which grows WITH the corpus — is
+    not broadcast by default: AQE broadcasts small inputs on its own and
+    shuffle-joins big ones.  ``broadcast_media=True`` opts in when the
+    caller knows media is a bounded dimension (e.g. one document's file
+    group).
     """
-    joined = ocr_files.join(F.broadcast(media), "doc_id").where(
+    if broadcast_media:
+        media = F.broadcast(media)
+    joined = ocr_files.join(media, "doc_id").where(
         F.col("href").contains(F.col("ocr_stem"))
     )
     w = Window.partitionBy("doc_id", "ocr_stem").orderBy("media_ref")

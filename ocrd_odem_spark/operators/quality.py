@@ -150,7 +150,9 @@ def quality_ratio(n_words: Column, n_errs: Column) -> Column:
 
 
 def estimate_page_quality(
-    page_stats: DataFrame, known_words: DataFrame | None = None
+    page_stats: DataFrame,
+    known_words: DataFrame | None = None,
+    broadcast_vocab: bool = False,
 ) -> DataFrame:
     """A4: per-page quality ratio ``(n_words - n_errs) / n_words * 100``
     rounded to 3 (reference ``StepEstimateOCR.postprocess_response``,
@@ -162,6 +164,14 @@ def estimate_page_quality(
     vocabulary dimension).  Without a vocabulary, tokens containing any
     non-letter character count as errors — a deterministic stand-in that
     keeps the ratio math and binning exactly reproducible.
+
+    A corpus vocabulary is UNBOUNDED (it grows with the corpus — the q42
+    query builds it from 10% of all documents), so it is NOT broadcast by
+    default: the tok-join is left to Catalyst/AQE, which broadcasts small
+    vocabularies on its own (spark.sql.autoBroadcastJoinThreshold) and
+    shuffle-joins big ones instead of OOM-ing the driver.  Pass
+    ``broadcast_vocab=True`` only when the caller KNOWS the vocabulary is a
+    bounded dimension (e.g. a fixed dictionary).
     """
     toks = F.filter(F.split(F.col("file_string"), " "), lambda t: t != "")
     exploded = page_stats.select(
@@ -170,7 +180,10 @@ def estimate_page_quality(
     )
     if known_words is not None:
         vocab = known_words.select(F.col("word").alias("tok")).distinct()
-        marked = exploded.join(F.broadcast(vocab.withColumn("_known", F.lit(1))), "tok", "left")
+        vocab = vocab.withColumn("_known", F.lit(1))
+        if broadcast_vocab:
+            vocab = F.broadcast(vocab)
+        marked = exploded.join(vocab, "tok", "left")
         is_err = F.col("_known").isNull() & F.col("tok").isNotNull()
     else:
         marked = exploded

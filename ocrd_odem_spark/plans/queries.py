@@ -1181,6 +1181,95 @@ WHERE round(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
             6) >= 0.3"""
 
 
+def q47_link_ocr_media_spark(spark, sf_dir):
+    """J3: OCR->media stem-containment link, first match (by media_ref)
+    wins — the driver-facing oracle for ``link_ocr_to_media`` (reference
+    ``mets.py:334-414``).  Stems are derived three ways per page: exact
+    (single hit), truncated 7-char (multi-hit — exercises
+    first-match-wins, e.g. '0000001' hits both page 1 and page 10), and
+    prefixed-unmatched (dropped by the inner containment join)."""
+    from ..operators.linking import link_ocr_to_media
+
+    pm = _page_meta_df(spark, sf_dir)
+    media = pm.select(
+        "doc_id",
+        "media_ref",
+        F.concat(F.lit("images/max/"), F.col("media_ref"), F.lit(".jpg")).alias(
+            "href"
+        ),
+    )
+    variant = (F.col("src_id") * 7 + F.col("media_ref").cast("int")) % 3
+    stem = (
+        F.when(variant == 0, F.col("media_ref"))
+        .when(variant == 1, F.substring("media_ref", 2, 7))
+        .otherwise(F.concat(F.lit("x_"), F.col("media_ref")))
+    )
+    ocr = pm.select("doc_id", stem.alias("ocr_stem"))
+    return link_ocr_to_media(ocr, media)
+
+
+Q47_ORACLE = _meta_oracle(
+    """, _media AS (
+  SELECT doc_id, media_ref, concat('images/max/', media_ref, '.jpg') AS href
+  FROM page_meta_input
+), _ocr AS (
+  SELECT doc_id,
+         CASE (src_id*7 + media_ref::int) % 3
+              WHEN 0 THEN media_ref
+              WHEN 1 THEN substr(media_ref, 2, 7)
+              ELSE concat('x_', media_ref) END AS ocr_stem
+  FROM page_meta_input
+), _hits AS (
+  SELECT o.doc_id, o.ocr_stem, m.media_ref, m.href,
+         row_number() OVER (PARTITION BY o.doc_id, o.ocr_stem
+                            ORDER BY m.media_ref) AS rn
+  FROM _ocr o JOIN _media m
+    ON o.doc_id = m.doc_id AND contains(m.href, o.ocr_stem)
+)
+SELECT doc_id, ocr_stem, media_ref, href FROM _hits WHERE rn = 1"""
+)
+
+
+def q50_exact_dedup_spark(spark, sf_dir):
+    """Exact dedup through the capped ``exact_duplicates`` operator: the
+    corpus is unioned with two shifted copies (every 3rd / 9th doc) so
+    every duplicated text forms a 2-3 member group with a known id set;
+    ``n_docs`` is the true size, ``dup_ids`` the bounded ordered sample."""
+    from ..functions.dedup import exact_duplicates
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    shift1 = docs.where(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    shift2 = docs.where(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    dupes = exact_duplicates(
+        docs.unionByName(shift1).unionByName(shift2), max_group=64
+    )
+    return dupes.select(
+        "text_hash",
+        "n_docs",
+        F.col("keep_id").cast("long").alias("keep_id"),
+        F.array_join(
+            F.transform("all_ids", lambda x: x.cast("string")), ","
+        ).alias("dup_ids"),
+    )
+
+
+Q50_ORACLE = """WITH _all AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 9 = 0
+)
+SELECT md5(text) AS text_hash,
+       cast(count(*) AS bigint) AS n_docs,
+       cast(min(doc_id) AS bigint) AS keep_id,
+       array_to_string(list_sort(list(doc_id)), ',') AS dup_ids
+FROM _all GROUP BY md5(text) HAVING count(*) > 1"""
+
+
 def _named_sql(template: str) -> tuple[Callable, str]:
     spark_sql = template.replace("{STR}", "string")
     duck_sql = template.replace("{STR}", "varchar")
@@ -1242,6 +1331,8 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     reg["q44_process_statistics"] = (q44_process_stats_spark, Q44_ORACLE)
     reg["q45_latest_agent"] = (q45_latest_agent_spark, Q45_ORACLE)
     reg["q46_cosine_neardup"] = (q46_cosine_neardup_spark, Q46_ORACLE)
+    reg["q47_link_ocr_media"] = (q47_link_ocr_media_spark, Q47_ORACLE)
+    reg["q50_exact_dedup_groups"] = (q50_exact_dedup_spark, Q50_ORACLE)
     reg["q14_resume_antijoin"] = (q14_resume_antijoin_spark, Q14_ORACLE)
     reg["q31_events_rollup"] = (q31_events_rollup_spark, Q31_ORACLE)
     reg["q33_estimation_bins"] = (q33_estimation_bins_spark, Q33_ORACLE)

@@ -30,6 +30,28 @@ def test_exact_duplicates(spark):
     assert rows[0]["all_ids"] == [1, 2]
 
 
+def test_exact_duplicates_group_cap_bounded_and_observable(spark):
+    """A 10^8-wide boilerplate group must never hit a collect_list buffer:
+    the row_number cap runs BEFORE the aggregation, n_docs stays the TRUE
+    count, and the truncation is reported (VERDICT r2 item 1b)."""
+    boiler = [(i, "gleicher Kessel Text immer wieder gleich") for i in range(200)]
+    pair = [(1000, "zwei mal da"), (1001, "zwei mal da")]
+    solo = [(2000, "nur einmal vorhanden xyz")]
+    df = spark.createDataFrame(boiler + pair + solo, "doc_id long, text string")
+    dupes, stats = dedup.exact_duplicates(df, max_group=16, with_stats=True)
+    rows = {r["keep_id"]: r for r in dupes.collect()}
+    assert set(rows) == {0, 1000}
+    assert rows[0]["n_docs"] == 200  # true size survives the cap
+    assert rows[0]["all_ids"] == list(range(16))  # bounded sample, keeper first
+    assert rows[1000]["all_ids"] == [1000, 1001]
+    s = stats.collect()[0]
+    assert (s["n_groups"], s["n_oversized_groups"], s["n_dropped_ids"]) == (2, 1, 184)
+    # the groupBy reuses the window's text_hash partitioning — one exchange
+    plan = dupes._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 1, final
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     pairs = dedup.minhash_lsh_candidates(_docs_df(spark), bands=16, num_hashes=64)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
@@ -66,8 +88,10 @@ def test_lsh_bucket_cap_bounded_and_observable(spark):
     assert len(got) == 16 * 15 // 2
     s = stats.collect()[0]
     assert s["n_oversized_buckets"] >= 1
-    # every band's boilerplate bucket drops 120-16 ids
-    assert s["n_dropped_ids"] >= 104
+    # every band's boilerplate bucket drops 120-16 memberships; summed
+    # across the 4 bands the stat reads ~4*104 (it counts memberships,
+    # not unique documents — see the docstring)
+    assert s["n_dropped_memberships"] >= 104
     # one exchange only: the window partitioning is reused by the groupBy
     # (AQE plans print Final + Initial sections — count the final one only)
     plan = pairs._jdf.queryExecution().executedPlan().toString()

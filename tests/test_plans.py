@@ -87,3 +87,27 @@ def test_page_stats_single_fact_shuffle(spark, docs_parquet):
     # exactly one hash exchange of the fact rows (the page regroup)
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, plan
+
+
+def test_quality_vocab_not_force_broadcast(spark, docs_parquet):
+    """estimate_page_quality must NOT force-broadcast the vocabulary: a
+    corpus vocab is unbounded, so the join strategy belongs to AQE
+    (VERDICT r2 item 1a).  The opt-in flag still plants the hint for
+    bounded dictionaries."""
+    from ocrd_odem_spark.operators.quality import (
+        estimate_page_quality,
+        page_text_stats,
+    )
+
+    docs = spark.read.parquet(docs_parquet)
+    ps = page_text_stats(docs)
+    vocab = spark.createDataFrame(
+        [("der",), ("und",), ("die",)], "word string"
+    )
+    default = estimate_page_quality(ps, known_words=vocab)
+    logical = default._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical, logical
+
+    forced = estimate_page_quality(ps, known_words=vocab, broadcast_vocab=True)
+    logical_forced = forced._jdf.queryExecution().logical().toString()
+    assert "UnresolvedHint broadcast" in logical_forced or "ResolvedHint" in logical_forced
