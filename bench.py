@@ -212,6 +212,9 @@ def main() -> None:
         # pairing once read 0.42 where an adjacent same-window pair read
         # 0.78).  Run (n8, n32) back-to-back per round, compute efficiency
         # per adjacent pair, report the MEDIAN pair.
+        # the 2-core leg runs IMMEDIATELY before the first (n8, n32) pair so
+        # eff_low comes from one same-window triple (n2, n8, n32) — a 2-core
+        # number from a different noise window once read a superlinear 1.87
         r2 = run_once(2, rep, warmup=False)
         pairs = []
         for _ in range(3):
@@ -219,9 +222,11 @@ def main() -> None:
             p32 = run_once(32, rep)
             pairs.append((p8, p32, round(
                 p32["docs_per_sec"] / (4 * p8["docs_per_sec"]), 3)))
+        eff_low = round(
+            pairs[0][0]["docs_per_sec"] / (4 * r2["docs_per_sec"]), 3
+        )
         pairs_by_eff = sorted(pairs, key=lambda p: p[2])
         r8, r32, eff_high = pairs_by_eff[len(pairs_by_eff) // 2]
-        eff_low = round(r8["docs_per_sec"] / (4 * r2["docs_per_sec"]), 3)
         result = {
             "metric": "extract_dehyph_scaling", "unit": "docs/sec", "sf": sf,
             "throughput_n2": r2["docs_per_sec"],
@@ -256,7 +261,8 @@ def main() -> None:
                 "Protocol notes: the shared host's wall clock fluctuates with\n"
                 "neighbor load (2-3x between minutes), so (n8, n32) run\n"
                 "back-to-back per round and the MEDIAN pair efficiency is\n"
-                "reported; the long 2-core run self-averages.  Runs are sized\n"
+                "reported; 2->8 comes from the same-window triple (the 2-core\n"
+                "leg runs immediately before the first pair).  Runs are sized\n"
                 "(replicate>=96) so JVM/JIT startup is amortized at 32 cores.\n"
                 "The extraction plan itself adds no serial\n"
                 "stage — no shuffle, no driver-side loop — so scaling is\n"

@@ -76,18 +76,34 @@ def megapixel_histogram(media: DataFrame) -> DataFrame:
     )
 
 
+try:  # optional real-decode tier; absent in this container
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - depends on environment
+    _PILImage = None
+    HAS_PIL = False
+
+
 def _decode_image_bytes(payload: bytes, fake: bool):
-    """STUB: real deployment plugs PIL/libvips here."""
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires an image library not present in this "
-            "container; pass fake=True for the deterministic test decoder"
-        )
-    # deterministic fake: 4 'pixels' derived from payload bytes
+    """Three tiers: deterministic fake (CI), PIL when importable (real
+    decode -> 2x2 grayscale feature), else NotImplementedError (honest
+    stub — no image library in this container)."""
     if payload is None:
         raise ValueError("empty payload")
-    b = payload[:16].ljust(16, b"\0")
-    return [b[0] / 255.0, b[5] / 255.0, b[10] / 255.0, b[15] / 255.0]
+    if fake:
+        # deterministic fake: 4 'pixels' derived from payload bytes
+        b = payload[:16].ljust(16, b"\0")
+        return [b[0] / 255.0, b[5] / 255.0, b[10] / 255.0, b[15] / 255.0]
+    if HAS_PIL:
+        import io
+
+        img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((2, 2))
+        return [p / 255.0 for p in img.getdata()]
+    raise NotImplementedError(
+        "image decoding requires an image library not present in this "
+        "container; pass fake=True for the deterministic test decoder"
+    )
 
 
 def extract_image_features(
@@ -108,7 +124,10 @@ def extract_image_features(
                 try:
                     feat = _decode_image_bytes(rec.payload, fake_decoder)
                     out.append((rec.media_id, rec.doc_id, rec.mime, feat, None))
-                except (NotImplementedError, ValueError) as exc:
+                except Exception as exc:  # noqa: BLE001 - decode errors are
+                    # a data channel (incl. codec-library errors like PIL's
+                    # UnidentifiedImageError); one bad image must never kill
+                    # a 100 TB task
                     out.append((rec.media_id, rec.doc_id, rec.mime, None, str(exc)))
             yield pd.DataFrame(
                 out, columns=["media_id", "doc_id", "mime", "feat", "decode_error"]

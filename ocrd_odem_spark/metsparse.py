@@ -25,6 +25,17 @@ _METS = "{http://www.loc.gov/METS/}"
 _MODS = "{http://www.loc.gov/mods/v3}"
 _XLINK = "{http://www.w3.org/1999/xlink}"
 
+# keep canonical prefixes on re-serialization (scrub_file_groups) instead of
+# ElementTree's generated ns0:/ns1: — payloads stay diffable after a scrub
+for _prefix, _uri in (
+    ("mets", "http://www.loc.gov/METS/"),
+    ("mods", "http://www.loc.gov/mods/v3"),
+    ("xlink", "http://www.w3.org/1999/xlink"),
+    ("dv", "http://dfg-viewer.de/"),
+    ("xsi", "http://www.w3.org/2001/XMLSchema-instance"),
+):
+    ET.register_namespace(_prefix, _uri)
+
 DOC_META_OUT = (
     "doc_id string, mets_type string, pica_type string, "
     "identifiers map<string,string>, languages array<string>, "
@@ -210,6 +221,197 @@ def shred_mets(df, payload_col: str = "mets_xml", file_group: str = "MAX"):
     )
 
 
+_LEVELS = {"warn": 0, "error": 1, "fatal": 2}
+
+VALIDATION_OUT = "doc_id string, rule_id string, level string, message string"
+
+
+def validate_mets_schema(
+    payload: bytes | str,
+    digi_type: str = "Aa",
+    ddb_ignores: tuple[str, ...] = (),
+    ddb_min_level: str = "fatal",
+) -> tuple[bool, list[dict]]:
+    """Schema-level METS validation channel (reference ``validate_mets``,
+    ``mets.py:501-518``, driven by ``validate_metadata``'s digi_type /
+    ddb_ignores / ddb_min_level config, ``odem_process_impl.py:521-557``).
+
+    The reference delegates to an external XSD + DDB-schematron reporter
+    (the ``digiflow.validate`` package); this re-states a documented
+    SUBSET of those rules directly over the DOM — the structural XSD
+    essentials plus the DDB-profile checks a production ingest trips most
+    often — as data rows, never exceptions:
+
+    * ``xsd.root``               fatal — root element must be mets:mets
+    * ``xsd.structmap.physical`` fatal — a structMap TYPE=PHYSICAL exists
+    * ``xsd.structmap.logical``  fatal — a structMap TYPE=LOGICAL exists
+    * ``xsd.filesec``            error — fileSec with at least one fileGrp
+    * ``xsd.flocat.href``        error — every FLocat carries xlink:href
+    * ``xsd.fptr.fileid``        error — every fptr FILEID resolves
+    * ``xsd.smlink.resolves``    error — every smLink from/to hits a div ID
+    * ``ddb.identifier``         fatal — a record identifier exists
+      (mods:recordIdentifier or mods:identifier)
+    * ``ddb.titleInfo``          error — mods:titleInfo/mods:title exists
+      (waived for newspaper-like digi types ``O*``/``Z*``, whose titles
+      live on the issue level)
+    * ``ddb.language``           warn  — a mods languageTerm exists
+    * ``ddb.physical.order``     warn  — physical page divs carry ORDER or
+      ORDERLABEL
+
+    Returns ``(ok, findings)``: ``ok`` is False when any non-ignored
+    finding reaches ``ddb_min_level`` (the reference's ``report.alert``);
+    ``findings`` lists every non-ignored rule hit as
+    ``{'rule_id', 'level', 'message'}``.  A malformed payload yields the
+    single fatal ``xsd.parse`` finding (the reference wraps parser errors
+    into its data-exception channel the same way).
+    """
+    findings: list[dict] = []
+
+    def hit(rule_id: str, level: str, message: str) -> None:
+        if rule_id not in ddb_ignores:
+            findings.append(
+                {"rule_id": rule_id, "level": level, "message": message}
+            )
+
+    try:
+        if isinstance(payload, str):
+            payload = payload.encode("utf-8")
+        root = ET.fromstring(payload)
+    except ET.ParseError as exc:
+        hit("xsd.parse", "fatal", f"malformed XML: {exc}")
+        return False, findings
+
+    if root.tag != f"{_METS}mets":
+        # harvested records arrive OAI-PMH-wrapped (the reference's loader
+        # unwraps the envelope); validate the embedded mets:mets if present
+        inner = next(root.iter(f"{_METS}mets"), None)
+        if inner is None:
+            hit("xsd.root", "fatal", f"root element is {root.tag}, not mets:mets")
+        else:
+            root = inner
+
+    struct_types = {
+        sm.get("TYPE") for sm in root.iter(f"{_METS}structMap")
+    }
+    if "PHYSICAL" not in struct_types:
+        hit("xsd.structmap.physical", "fatal", "no structMap TYPE=PHYSICAL")
+    if "LOGICAL" not in struct_types:
+        hit("xsd.structmap.logical", "fatal", "no structMap TYPE=LOGICAL")
+
+    file_grps = [g for g in root.iter(f"{_METS}fileGrp")]
+    if not any(root.iter(f"{_METS}fileSec")) or not file_grps:
+        hit("xsd.filesec", "error", "no fileSec with a fileGrp")
+
+    file_ids: set[str] = set()
+    n_blank_href = 0
+    for f in root.iter(f"{_METS}file"):
+        fid = f.get("ID")
+        if fid:
+            file_ids.add(fid)
+        for loc in f.iter(f"{_METS}FLocat"):
+            if not (loc.get(f"{_XLINK}href") or "").strip():
+                n_blank_href += 1
+    if n_blank_href:
+        hit("xsd.flocat.href", "error", f"{n_blank_href}x FLocat without xlink:href")
+
+    div_ids = {d.get("ID") for d in root.iter(f"{_METS}div") if d.get("ID")}
+    dangling_fptr = sorted(
+        {
+            fp.get("FILEID")
+            for fp in root.iter(f"{_METS}fptr")
+            if fp.get("FILEID") and fp.get("FILEID") not in file_ids
+        }
+    )
+    if dangling_fptr:
+        hit(
+            "xsd.fptr.fileid", "error",
+            f"{len(dangling_fptr)}x fptr FILEID unresolved: "
+            + ",".join(dangling_fptr[:5]),
+        )
+    n_bad_links = 0
+    for sl in root.iter(f"{_METS}smLink"):
+        if (
+            sl.get(f"{_XLINK}from") not in div_ids
+            or sl.get(f"{_XLINK}to") not in div_ids
+        ):
+            n_bad_links += 1
+    if n_bad_links:
+        hit("xsd.smlink.resolves", "error", f"{n_bad_links}x smLink endpoint unresolved")
+
+    has_record_id = any(
+        (el.text or "").strip() for el in root.iter(f"{_MODS}recordIdentifier")
+    ) or any((el.text or "").strip() for el in root.iter(f"{_MODS}identifier"))
+    if not has_record_id:
+        hit("ddb.identifier", "fatal", "found no record identifier")
+
+    newspaper_like = digi_type[:1] in ("O", "Z")
+    has_title = any(
+        (t.text or "").strip()
+        for ti in root.iter(f"{_MODS}titleInfo")
+        for t in ti.iter(f"{_MODS}title")
+    )
+    if not has_title and not newspaper_like:
+        hit("ddb.titleInfo", "error", "no mods:titleInfo/mods:title")
+
+    if not any(
+        (el.text or "").strip() for el in root.iter(f"{_MODS}languageTerm")
+    ):
+        hit("ddb.language", "warn", "no mods languageTerm")
+
+    phys_divs = [
+        d
+        for sm in root.iter(f"{_METS}structMap")
+        if sm.get("TYPE") == "PHYSICAL"
+        for d in sm.iter(f"{_METS}div")
+        if d.get("TYPE") == "page"
+    ]
+    n_unordered = sum(
+        1 for d in phys_divs if not (d.get("ORDER") or d.get("ORDERLABEL"))
+    )
+    if n_unordered:
+        hit(
+            "ddb.physical.order", "warn",
+            f"{n_unordered}x physical page div without ORDER/ORDERLABEL",
+        )
+
+    min_rank = _LEVELS.get(ddb_min_level, 2)
+    ok = not any(_LEVELS[f["level"]] >= min_rank for f in findings)
+    return ok, findings
+
+
+def mets_validation(
+    df,
+    payload_col: str = "mets_xml",
+    digi_type: str = "Aa",
+    ddb_ignores: tuple[str, ...] = (),
+):
+    """Spark stage: (doc_id, mets_xml) -> one row per validation finding
+    (``VALIDATION_OUT``).  Clean documents emit no rows; consumers decide
+    the alert policy per level — a 100 TB ingest quarantines by rule, it
+    never throws."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                _, findings = validate_mets_schema(
+                    getattr(rec, payload_col),
+                    digi_type=digi_type,
+                    ddb_ignores=ddb_ignores,
+                    ddb_min_level="fatal",
+                )
+                rows += [
+                    (rec.doc_id, f["rule_id"], f["level"], f["message"])
+                    for f in findings
+                ]
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "rule_id", "level", "message"]
+            )
+
+    return df.mapInPandas(run, schema=VALIDATION_OUT)
+
+
 def scrub_file_groups(payload: bytes | str, removals: list[str]) -> bytes:
     """S6-adjacent: drop blacklisted fileGrps and unlink their fptrs
     (reference ``modify_mets_groups`` -> ``clear_filegroups``,
@@ -226,17 +428,23 @@ def scrub_file_groups(payload: bytes | str, removals: list[str]) -> bytes:
         for grp in list(sec):
             if grp.tag == f"{_METS}fileGrp" and grp.get("USE") in removals:
                 for f in grp.iter(f"{_METS}file"):
-                    removed_ids.add(f.get("ID", ""))
+                    # a file element without an ID cannot be referenced by
+                    # any fptr — never funnel '' into the removal set, or
+                    # ID-less fptrs elsewhere get unlinked collaterally
+                    fid = f.get("ID")
+                    if fid:
+                        removed_ids.add(fid)
                 sec.remove(grp)
     if removed_ids:
         for div in root.iter(f"{_METS}div"):
             for fptr in list(div):
+                # .get() -> None when FILEID absent; None is never in the set
                 if (
                     fptr.tag == f"{_METS}fptr"
-                    and fptr.get("FILEID", "") in removed_ids
+                    and fptr.get("FILEID") in removed_ids
                 ):
                     div.remove(fptr)
-    return ET.tostring(root)
+    return ET.tostring(root, encoding="UTF-8", xml_declaration=True)
 
 
 def scrub_mets(df, removals: list[str], payload_col: str = "mets_xml"):

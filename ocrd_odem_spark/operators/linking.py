@@ -65,18 +65,36 @@ def link_ocr_to_media(
 
 
 def loss_set(candidates: DataFrame, results: DataFrame) -> DataFrame:
-    """J5: symmetric difference of candidate vs result stems per doc."""
-    c = candidates.select("doc_id", F.col("stem").alias("c_stem")).distinct()
-    r = results.select("doc_id", F.col("stem").alias("r_stem")).distinct()
+    """J5: symmetric difference of candidate vs result stems per doc.
+
+    Alias-qualified join so both inputs may share lineage (e.g. filtered
+    views of the same page frame) without tripping Spark's ambiguous
+    self-join check.
+    """
+    c = (
+        candidates.select("doc_id", F.col("stem").alias("c_stem"))
+        .distinct()
+        .alias("_loss_c")
+    )
+    r = (
+        results.select(
+            F.col("doc_id").alias("r_doc_id"), F.col("stem").alias("r_stem")
+        )
+        .distinct()
+        .alias("_loss_r")
+    )
     return (
         c.join(
             r,
-            (c["doc_id"] == r["doc_id"]) & (c["c_stem"] == r["r_stem"]),
+            (F.col("_loss_c.doc_id") == F.col("_loss_r.r_doc_id"))
+            & (F.col("_loss_c.c_stem") == F.col("_loss_r.r_stem")),
             "full_outer",
         )
         .where(F.col("c_stem").isNull() | F.col("r_stem").isNull())
         .select(
-            F.coalesce(c["doc_id"], r["doc_id"]).alias("doc_id"),
+            F.coalesce(F.col("_loss_c.doc_id"), F.col("_loss_r.r_doc_id")).alias(
+                "doc_id"
+            ),
             F.coalesce(F.col("c_stem"), F.col("r_stem")).alias("stem"),
             F.when(F.col("r_stem").isNull(), F.lit("no_result"))
             .otherwise(F.lit("no_candidate"))

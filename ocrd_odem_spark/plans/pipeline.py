@@ -287,20 +287,42 @@ def blacklisted_pages(
 
 
 def process_statistics(
-    doc_meta: DataFrame, page_meta: DataFrame, media: DataFrame | None = None
+    doc_meta: DataFrame,
+    page_meta: DataFrame,
+    media: DataFrame | None = None,
+    candidates: DataFrame | None = None,
+    results: DataFrame | None = None,
+    timings: DataFrame | None = None,
 ) -> DataFrame:
     """Unified per-document statistics record (reference
     ``odem_process_impl.py:142-153``: languages, n_images_pages,
-    n_images_ocrable, mb, mps as one INFO payload).
+    n_images_ocrable, mb, mps as one INFO payload; ``:365-380``: n_ocr +
+    the candidates-vs-results ``ocr_loss`` set; ``:675-676``: elapsed
+    ``timedelta``).
 
     One aggregation over the page dimension + a broadcast join to the doc
     dimension; the optional ``media`` frame contributes MB/megapixel sums
     (A2).  All counts are per-doc-small, so the join side broadcasts.
+
+    Optional channels, mirroring the reference record:
+
+    * ``candidates`` + ``results`` (doc_id, stem): adds ``n_ocr`` (results
+      per doc) and ``ocr_loss`` — the symmetric difference of stems (J5),
+      sorted and comma-joined ('' when lossless).  The loss list is per-doc
+      bounded (page count), like the reference's in-memory set.
+    * ``timings`` (doc_id, started_at, finished_at timestamps): adds
+      ``timedelta`` formatted H:MM:SS from whole seconds (the reference
+      str()s a ``datetime.timedelta``; sub-day spans format identically).
+
+    The blacklist/ocrable predicates are NULL-hardened: a page with NULL
+    label or log_types counts deterministically (not-blacklisted /
+    not-missing) instead of silently dropping out of the sums.
     """
+    not_blacklisted = F.coalesce(~page_blacklist_flag(), F.lit(True))
     per_doc = page_meta.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_images_pages"),
         F.sum(
-            (~page_blacklist_flag() & F.col("media_ref").isNotNull()).cast("long")
+            (not_blacklisted & F.col("media_ref").isNotNull()).cast("long")
         ).alias("n_images_ocrable"),
         F.sum(
             (F.col("log_types").isNull() | (F.size("log_types") == 0)).cast("long")
@@ -320,6 +342,41 @@ def process_statistics(
             F.broadcast(media_stats(media).select("doc_id", "mb", "mps")),
             "doc_id",
             "left",
+        )
+    if candidates is not None and results is not None:
+        from ..operators.linking import loss_set
+
+        n_ocr = results.groupBy("doc_id").agg(
+            F.count("*").cast("long").alias("n_ocr")
+        )
+        loss = (
+            loss_set(candidates, results)
+            .groupBy("doc_id")
+            .agg(
+                F.array_join(F.sort_array(F.collect_list("stem")), ",").alias(
+                    "ocr_loss"
+                )
+            )
+        )
+        out = (
+            out.join(n_ocr, "doc_id", "left")
+            .join(loss, "doc_id", "left")
+            .withColumn("n_ocr", F.coalesce("n_ocr", F.lit(0)))
+            .withColumn("ocr_loss", F.coalesce("ocr_loss", F.lit("")))
+        )
+    if timings is not None:
+        secs = (
+            F.unix_timestamp("finished_at") - F.unix_timestamp("started_at")
+        ).cast("long")
+        td = F.concat(
+            (secs / 3600).cast("long").cast("string"),
+            F.lit(":"),
+            F.lpad(((secs % 3600) / 60).cast("long").cast("string"), 2, "0"),
+            F.lit(":"),
+            F.lpad((secs % 60).cast("string"), 2, "0"),
+        )
+        out = out.join(
+            timings.select("doc_id", td.alias("timedelta")), "doc_id", "left"
         )
     return out
 

@@ -10,6 +10,8 @@ sides.
 
 from __future__ import annotations
 
+import glob
+import os
 import re
 from collections.abc import Callable
 
@@ -1084,23 +1086,56 @@ WHERE s.kind = 'text'
 
 def q44_process_stats_spark(spark, sf_dir):
     """Unified per-doc process_statistics record (languages, page counts,
-    ocrable counts, missing links, MB, megapixels)."""
+    ocrable counts, missing links, MB, megapixels, n_ocr, the
+    candidates-vs-results ocr_loss set and the elapsed timedelta —
+    reference ``odem_process_impl.py:142-153,365-380,675-676``).  OCR
+    candidates are every page; every 5th (src_id + page) is 'lost' so the
+    loss channel is non-trivial; elapsed seconds derive from src_id."""
     from .pipeline import process_statistics
 
     pm = _page_meta_df(spark, sf_dir)
+    dm = _doc_meta_df(spark, sf_dir)
+    cand = pm.select("doc_id", F.col("media_ref").alias("stem"))
+    res = pm.where(
+        (F.col("src_id") + F.col("media_ref").cast("int")) % 5 != 0
+    ).select("doc_id", F.col("media_ref").alias("stem"))
+    base = F.lit(1600000000)
+    timings = dm.select(
+        "doc_id",
+        F.to_timestamp(F.from_unixtime(base)).alias("started_at"),
+        F.to_timestamp(
+            F.from_unixtime(base + 59 + F.col("src_id") % 7777)
+        ).alias("finished_at"),
+    )
     out = process_statistics(
-        _doc_meta_df(spark, sf_dir), pm, media=_page_media_df(pm)
+        dm, pm, media=_page_media_df(pm),
+        candidates=cand, results=res, timings=timings,
     )
     return out.select(
         "doc_id", "languages", "n_images_pages", "n_images_ocrable",
-        "n_links_missing", "mb", "mps",
+        "n_links_missing", "mb", "mps", "n_ocr", "ocr_loss", "timedelta",
     )
 
 
 Q44_ORACLE = _meta_oracle(
-    """SELECT a.doc_id,
+    """, _q44_secs AS (
+  SELECT doc_id, 59 + src_id % 7777 AS secs FROM doc_meta_input
+), _q44_ocr AS (
+  SELECT doc_id,
+         cast(sum(CASE WHEN (src_id + media_ref::int) % 5 <> 0
+                       THEN 1 ELSE 0 END) AS bigint) AS n_ocr,
+         coalesce(array_to_string(list_sort(
+             list(media_ref) FILTER (WHERE (src_id + media_ref::int) % 5 = 0)
+         ), ','), '') AS ocr_loss
+  FROM page_meta_input GROUP BY doc_id
+)
+SELECT a.doc_id,
        array_to_string(d.languages, '+') AS languages,
-       a.n_images_pages, a.n_images_ocrable, a.n_links_missing, a.mb, a.mps
+       a.n_images_pages, a.n_images_ocrable, a.n_links_missing, a.mb, a.mps,
+       o.n_ocr, o.ocr_loss,
+       concat(cast(t.secs // 3600 AS varchar), ':',
+              lpad(cast((t.secs % 3600) // 60 AS varchar), 2, '0'), ':',
+              lpad(cast(t.secs % 60 AS varchar), 2, '0')) AS timedelta
 FROM (
   SELECT doc_id, cast(count(*) AS bigint) AS n_images_pages,
          cast(sum(CASE WHEN NOT (label LIKE '%Colorchecker%'
@@ -1114,7 +1149,9 @@ FROM (
          round(sum(n_bytes) / 1048576.0, 2) AS mb,
          round(sum(round(width * height / 1000000.0, 2)), 2) AS mps
   FROM page_meta_input GROUP BY doc_id
-) a JOIN doc_meta_input d ON d.doc_id = a.doc_id"""
+) a JOIN doc_meta_input d ON d.doc_id = a.doc_id
+JOIN _q44_ocr o ON o.doc_id = a.doc_id
+JOIN _q44_secs t ON t.doc_id = a.doc_id"""
 )
 
 
@@ -1230,6 +1267,76 @@ SELECT doc_id, ocr_stem, media_ref, href FROM _hits WHERE rn = 1"""
 )
 
 
+_GOLDEN_RES = "/root/reference/tests/resources"
+_SHREDDED_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "resources", "shredded_golden.parquet",
+)
+_GOLDEN_DEFAULT_FILES = [
+    "1667522809_J_0073_0512.xml", "288652.xml", "OCR-RESULT_0001.xml",
+    "ram110.xml", "Lubab_alAlbab.pdf_000003.xml", "1123596.xml",
+]
+
+
+def q48_shred_golden_spark(spark, sf_dir):
+    """S5/O2/F8: the distributed ALTO/PAGE shredder over the reference's
+    own XML fixtures, driver-oracled against the stored expected rows
+    (``tests/resources/shredded_golden.parquet``, written by the
+    pure-Python parser via ``jobs/make_shredded_golden.py`` and
+    golden-locked to the reference's published counts).  Covers all five
+    dialects, PAGE word reading-order (O2 — any order slip changes the
+    text hash), the parse-time min_len=32 tier (F8) and the error channel
+    (1123596.xml's words-without-line-text row)."""
+    from ..xmlparse import shred_xml
+
+    def _read(path):
+        with open(path, encoding="utf-8") as fh:
+            return fh.read()
+
+    schema = "doc_id string, media_ref string, xml string"
+    rows_d = [
+        (n, os.path.splitext(n)[0], _read(os.path.join(_GOLDEN_RES, n)))
+        for n in _GOLDEN_DEFAULT_FILES
+    ]
+    # 10 fixture files total: coalesce so mapInPandas does not spin up one
+    # Python worker per near-empty default partition
+    out_d = shred_xml(
+        spark.createDataFrame(rows_d, schema).coalesce(2)
+    ).withColumn("variant", F.lit("default"))
+    out_32 = shred_xml(
+        spark.createDataFrame([rows_d[0]], schema).coalesce(1), min_len=32
+    ).withColumn("variant", F.lit("minlen32"))
+    bundle = sorted(
+        glob.glob(os.path.join(_GOLDEN_RES, "1981185920_42296_FULLTEXT", "*.xml"))
+    )
+    rows_b = [
+        ("1981185920_42296", os.path.splitext(os.path.basename(f))[0], _read(f))
+        for f in bundle
+    ]
+    out_b = shred_xml(
+        spark.createDataFrame(rows_b, schema).coalesce(1), min_len=0
+    ).withColumn("variant", F.lit("bundle"))
+    # NULL-free projection: the error row has NULL line fields; coalesce on
+    # BOTH sides so the driver's sorted value-hash never compares NULLs
+    u = out_d.unionByName(out_32).unionByName(out_b)
+    return u.select(
+        "variant", "doc_id", "media_ref",
+        F.coalesce("line_id", F.lit("")).alias("line_id"),
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("line_order", F.lit(-1)).alias("line_order"),
+        F.coalesce("dialect", F.lit("")).alias("dialect"),
+        F.coalesce("error", F.lit("")).alias("error"),
+    )
+
+
+Q48_ORACLE = (
+    "SELECT variant, doc_id, media_ref, coalesce(line_id, '') AS line_id, "
+    "coalesce(text, '') AS text, coalesce(line_order, -1) AS line_order, "
+    "coalesce(dialect, '') AS dialect, coalesce(error, '') AS error "
+    f"FROM read_parquet('{_SHREDDED_GOLDEN}')"
+)
+
+
 def q50_exact_dedup_spark(spark, sf_dir):
     """Exact dedup through the capped ``exact_duplicates`` operator: the
     corpus is unioned with two shifted copies (every 3rd / 9th doc) so
@@ -1332,6 +1439,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     reg["q45_latest_agent"] = (q45_latest_agent_spark, Q45_ORACLE)
     reg["q46_cosine_neardup"] = (q46_cosine_neardup_spark, Q46_ORACLE)
     reg["q47_link_ocr_media"] = (q47_link_ocr_media_spark, Q47_ORACLE)
+    reg["q48_shred_golden"] = (q48_shred_golden_spark, Q48_ORACLE)
     reg["q50_exact_dedup_groups"] = (q50_exact_dedup_spark, Q50_ORACLE)
     reg["q14_resume_antijoin"] = (q14_resume_antijoin_spark, Q14_ORACLE)
     reg["q31_events_rollup"] = (q31_events_rollup_spark, Q31_ORACLE)

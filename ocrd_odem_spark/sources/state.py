@@ -102,11 +102,88 @@ def run_with_checkpoint(
     store = StateStore(state_path)
     os.makedirs(output_path, exist_ok=True)
 
-    # sweep staging left by crashed runs — resume uses a fresh run_id, so a
-    # stale _staging_<old> dir would otherwise leak forever
-    for name in os.listdir(output_path):
-        if name.startswith("_staging_"):
-            shutil.rmtree(os.path.join(output_path, name), ignore_errors=True)
+    # single-writer guard: two concurrent runs sharing an output_path would
+    # sweep each other's LIVE staging below and interleave bucket renames.
+    # The lock file records pid:run_id; a lock held by a dead pid is stale
+    # (crashed run) and is reclaimed — its staging is then safe to sweep.
+    _acquire_writer_lock(output_path, run_id)
+    try:
+        # sweep staging left by crashed runs — resume uses a fresh run_id,
+        # so a stale _staging_<old> dir would otherwise leak forever (safe
+        # under the writer lock: no other run can be mid-write here)
+        for name in os.listdir(output_path):
+            if name.startswith("_staging_"):
+                shutil.rmtree(os.path.join(output_path, name), ignore_errors=True)
+        return _run_with_checkpoint_locked(
+            spark, docs, transform, output_path, store, run_id,
+            n_buckets, fail_after_buckets,
+        )
+    finally:
+        _release_writer_lock(output_path, run_id)
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _lock_path(output_path: str) -> str:
+    return os.path.join(output_path, "_writer.lock")
+
+
+def _acquire_writer_lock(output_path: str, run_id: str) -> None:
+    path = _lock_path(output_path)
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{os.getpid()}:{run_id}".encode())
+            os.close(fd)
+            return
+        except FileExistsError:
+            try:
+                with open(path, encoding="utf-8") as fh:
+                    holder_pid = int(fh.read().split(":", 1)[0])
+            except (OSError, ValueError):
+                holder_pid = None
+            if holder_pid is not None and _pid_alive(holder_pid):
+                raise RuntimeError(
+                    f"output_path {output_path!r} is locked by live writer "
+                    f"pid {holder_pid}; concurrent runs on one output_path "
+                    "are not supported"
+                )
+            # stale lock from a crashed run: reclaim and retry
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
+
+
+def _release_writer_lock(output_path: str, run_id: str) -> None:
+    path = _lock_path(output_path)
+    try:
+        with open(path, encoding="utf-8") as fh:
+            if fh.read().split(":", 1)[1] != run_id:
+                return  # someone reclaimed a lock we lost; leave theirs
+        os.unlink(path)
+    except (OSError, IndexError):
+        pass
+
+
+def _run_with_checkpoint_locked(
+    spark: SparkSession,
+    docs: DataFrame,
+    transform,
+    output_path: str,
+    store: "StateStore",
+    run_id: str,
+    n_buckets: int,
+    fail_after_buckets: int | None,
+) -> dict:
 
     bucket = F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
     done = store.done_buckets(spark)

@@ -304,3 +304,31 @@ def test_cosine_near_duplicates(spark):
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
     for (a, b), sim in pairs.items():
         assert a < b and sim >= 0.9
+
+
+def test_pil_decode_tier(spark):
+    """When PIL is importable, fake_decoder=False decodes a real PNG into
+    the 2x2 grayscale feature; malformed payloads stay in the error
+    channel.  Skipped (stub tier asserted instead) when PIL is absent."""
+    import base64
+
+    # 1x1 white PNG
+    png = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAAAAAA6fptVAAAACklEQVR4nGP6DwAB"
+        "BQEAz1A9LwAAAABJRU5ErkJggg=="
+    )
+    rows = [("p1", "d1", "r1", "image/png", bytearray(png),
+             {"width": 1, "height": 1, "dpi": None, "n_bytes": len(png),
+              "duration_ms": None}),
+            ("p2", "d1", "r2", "image/png", bytearray(b"notanimage"),
+             {"width": 1, "height": 1, "dpi": None, "n_bytes": 10,
+              "duration_ms": None})]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           multimodal.extract_image_features(media).collect()}
+    if multimodal.HAS_PIL:
+        assert got["p1"]["decode_error"] is None
+        assert [round(v, 4) for v in got["p1"]["feat"]] == [1.0, 1.0, 1.0, 1.0]
+        assert got["p2"]["decode_error"]  # malformed -> error row, not crash
+    else:
+        assert all("image library" in got[m]["decode_error"] for m in got)

@@ -1,0 +1,122 @@
+"""Schema-level METS validation channel (reference ``validate_mets``,
+``mets.py:501-518`` + ``validate_metadata``, ``odem_process_impl.py:521-557``).
+
+The reference raises on XSD/DDB alerts; this engine emits findings as data
+rows so one malformed METS quarantines one document, never a 100 TB job.
+Golden anchors: the reference's real fixtures validate clean (including the
+OAI-PMH-wrapped one its loader unwraps), and deliberately-broken variants
+trip exactly the targeted rule.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+from ocrd_odem_spark.metsparse import mets_validation, validate_mets_schema
+
+RES = "/root/reference/tests/resources"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(RES), reason="reference fixtures not available"
+)
+
+
+def _read(name: str) -> str:
+    with open(os.path.join(RES, name), encoding="utf-8") as fh:
+        return fh.read()
+
+
+CLEAN_FIXTURES = [
+    "1981185920_33908.xml",   # OAI-PMH envelope around mets:mets
+    "sbb-PPN891267093.xml",
+    "1981185920_42296.xml",
+]
+
+
+@pytest.mark.parametrize("name", CLEAN_FIXTURES)
+def test_real_fixtures_validate_clean(name):
+    ok, findings = validate_mets_schema(_read(name))
+    assert ok, findings
+    assert findings == []
+
+
+def test_missing_logical_structmap_is_fatal():
+    broken = _read("sbb-PPN891267093.xml").replace(
+        'TYPE="LOGICAL"', 'TYPE="LOGICAL_GONE"'
+    )
+    ok, findings = validate_mets_schema(broken)
+    assert not ok
+    assert [(f["rule_id"], f["level"]) for f in findings] == [
+        ("xsd.structmap.logical", "fatal")
+    ]
+
+
+def test_missing_identifier_fatal_and_ignorable():
+    raw = _read("sbb-PPN891267093.xml")
+    no_id = re.sub(
+        r"<mods:recordIdentifier[^>]*>[^<]*</mods:recordIdentifier>", "", raw
+    )
+    no_id = re.sub(r"<mods:identifier[^>]*>[^<]*</mods:identifier>", "", no_id)
+    ok, findings = validate_mets_schema(no_id)
+    assert not ok
+    assert findings[0]["rule_id"] == "ddb.identifier"
+    # validate_metadata's ddb_validation_ignore list waives specific rules
+    ok_ign, findings_ign = validate_mets_schema(
+        no_id, ddb_ignores=("ddb.identifier",)
+    )
+    assert ok_ign and findings_ign == []
+
+
+def test_min_level_gate():
+    """warn findings never alert at the default fatal gate, but do at warn
+    (the reference's ddb_min_level dial)."""
+    raw = _read("sbb-PPN891267093.xml")
+    no_lang = re.sub(
+        r"<mods:languageTerm[^>]*>[^<]*</mods:languageTerm>", "", raw
+    )
+    ok, findings = validate_mets_schema(no_lang)
+    assert ok  # warn < fatal
+    assert [(f["rule_id"], f["level"]) for f in findings] == [
+        ("ddb.language", "warn")
+    ]
+    ok_strict, _ = validate_mets_schema(no_lang, ddb_min_level="warn")
+    assert not ok_strict
+
+
+def test_malformed_payload_is_data_not_exception():
+    ok, findings = validate_mets_schema("<mets:mets")
+    assert not ok
+    assert findings == [
+        {"rule_id": "xsd.parse", "level": "fatal",
+         "message": findings[0]["message"]}
+    ]
+
+
+def test_dangling_fptr_detected():
+    raw = _read("sbb-PPN891267093.xml")
+    broken = raw.replace('FILEID="', 'FILEID="GONE_', 1)
+    ok, findings = validate_mets_schema(broken)
+    assert ok  # error level does not alert at the default fatal gate
+    assert "xsd.fptr.fileid" in {f["rule_id"] for f in findings}
+
+
+def test_spark_validation_stage(spark):
+    """mets_validation: clean doc emits no rows; broken docs one row per
+    finding — the error channel shape a quarantine sink consumes."""
+    raw = _read("sbb-PPN891267093.xml")
+    rows = [
+        ("clean", raw),
+        ("no_logical", raw.replace('TYPE="LOGICAL"', 'TYPE="LOGICAL_GONE"')),
+        ("malformed", "<mets:mets"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, mets_xml string").coalesce(1)
+    got = mets_validation(df).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append((r["rule_id"], r["level"]))
+    assert "clean" not in by_doc
+    assert by_doc["no_logical"] == [("xsd.structmap.logical", "fatal")]
+    assert by_doc["malformed"] == [("xsd.parse", "fatal")]

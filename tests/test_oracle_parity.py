@@ -39,7 +39,8 @@ def _norm_cell(v):
 def _normalize(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(
-        tuple(_norm_cell(row[i]) for i in order) for row in rows
+        (tuple(_norm_cell(row[i]) for i in order) for row in rows),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
     )
 
 

@@ -105,3 +105,71 @@ def test_stage_registry_with_replacements(spark):
 def test_unknown_stage_rejected():
     with pytest.raises(KeyError, match="unknown stage"):
         pipeline.build_pipeline(["sort", "nope"])
+
+
+# ---------------------------------------------------------------------------
+# INI pipeline loader (reference init_steps, ocr_pipeline.py:631-651)
+# ---------------------------------------------------------------------------
+
+REF_STEPS_INI = "/root/reference/resources/odem.ocr-pipeline.steps.ini"
+REF_FULL_INI = "/root/reference/tests/resources/ocr_config_full.ini"
+
+
+def test_ini_loader_default_steps():
+    """The shipped default config yields Regex -> Postprocess in order,
+    with the Tesseract step reported as environment-skipped."""
+    from ocrd_odem_spark.plans.config import load_steps_ini
+
+    stages, skipped = load_steps_ini(REF_STEPS_INI)
+    assert stages == [
+        ("replace_regex", {"pattern": r"(J[cdhmn]\w*)", "old": "J", "new": "I"}),
+        ("postprocess", {}),
+    ]
+    assert skipped == [("step_01", "StepTesseract")]
+
+
+def test_ini_loader_full_config_order_and_quirks():
+    """The reference's full test config: 5 steps -> chars, regex kept
+    VERBATIM (reference asserts pattern == 'r\\'(...)\"\\''), three
+    environment steps skipped; parse_dict keeps quote chars (reference
+    parse_dict, ocr_pipeline.py:184-194)."""
+    from ocrd_odem_spark.plans.config import load_steps_ini, parse_dict
+
+    stages, skipped = load_steps_ini(REF_FULL_INI)
+    assert [s for s, _ in stages] == ["replace_chars", "replace_regex"]
+    assert stages[0][1]["dict_chars"] == {
+        "'ic)'": "'ich'", "'s&lt;'": "'sc'", "'&lt;'": "'c'"
+    }
+    assert stages[1][1]["pattern"] == "r'([aeioubcglnt]3[:-]*\")'"
+    assert stages[1][1]["old"] == "'3'"
+    assert [t for _, t in skipped] == [
+        "StepTesseract", "StepEstimateOCR", "StepPostMoveAlto"
+    ]
+    # parse_dict single-pair guard (len(tkns) > 1), braces stripped
+    assert parse_dict("{'a': 'b'}") == {}
+    assert parse_dict({"x": "y"}) == {"x": "y"}
+
+
+def test_ini_loader_unknown_type_rejected(tmp_path):
+    from ocrd_odem_spark.plans.config import load_steps_ini
+
+    bad = tmp_path / "steps.ini"
+    bad.write_text("[step_01]\ntype = StepNope\n")
+    with pytest.raises(KeyError, match="Unknown step 'StepNope'!"):
+        load_steps_ini(str(bad))
+
+
+def test_ini_loaded_pipeline_runs(spark):
+    """End-to-end: the default INI's stage list drives build_pipeline and
+    performs the J->I replacement + postprocess cascade."""
+    from ocrd_odem_spark.plans.config import load_steps_ini
+
+    stages, _ = load_steps_ini(REF_STEPS_INI)
+    run = pipeline.build_pipeline(["sort", *stages, "reoffset"])
+    docs = spark.createDataFrame(
+        [("d1", [{"kind": "text", "text": "Jch bin hier", "media_ref": None,
+                  "offset": 0}])],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    spans = run(docs).collect()[0]["spans"]
+    assert [s["text"] for s in spans] == ["Ich bin hier"]

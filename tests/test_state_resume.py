@@ -60,3 +60,34 @@ def test_crash_resume_no_dupes(spark, docs_df, corpus):
             F.sum("n_docs").alias("docs"), F.countDistinct("bucket").alias("buckets")
         ).collect()[0]
         assert agg["docs"] == len(corpus)
+
+
+def test_writer_lock_guards_concurrent_runs(spark, docs_df, tmp_path):
+    """Two runs sharing an output_path must not sweep each other's live
+    staging (ADVICE r2): a live lock rejects the second writer; a stale
+    lock (dead pid) is reclaimed."""
+    import os
+
+    import pytest as _pytest
+
+    out_dir = str(tmp_path / "out")
+    st_dir = str(tmp_path / "state")
+    os.makedirs(out_dir, exist_ok=True)
+
+    # simulate a LIVE concurrent writer (our own pid is alive)
+    lock = os.path.join(out_dir, "_writer.lock")
+    with open(lock, "w", encoding="utf-8") as fh:
+        fh.write(f"{os.getpid()}:deadbeef0000")
+    with _pytest.raises(RuntimeError, match="locked by live writer"):
+        state.run_with_checkpoint(
+            spark, docs_df, lambda d: d, out_dir, st_dir, n_buckets=4
+        )
+
+    # a crashed writer (dead pid) leaves a stale lock -> reclaimed, run ok
+    with open(lock, "w", encoding="utf-8") as fh:
+        fh.write("999999999:deadbeef0000")
+    r = state.run_with_checkpoint(
+        spark, docs_df, lambda d: d, out_dir, st_dir, n_buckets=4
+    )
+    assert r["published"] > 0
+    assert not os.path.exists(lock)  # released on exit
