@@ -1337,6 +1337,49 @@ Q48_ORACLE = (
 )
 
 
+def q49_jaccard_verify_spark(spark, sf_dir):
+    """n-gram Jaccard verification (the candidate-pair scoring stage) over
+    deterministic consecutive-id pairs; threshold 0 keeps every pair so the
+    oracle checks the VALUES, not just the filter."""
+    from ..functions.dedup import jaccard_verify
+
+    load_views(spark, sf_dir)
+    docs = spark.table("documents")
+    right = docs.select(F.col("doc_id").alias("id_b"))
+    pairs = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+        )
+        .join(right, "id_b")  # drop the table-edge pair with no partner
+        .select("id_a", "id_b")
+    )
+    return jaccard_verify(docs, pairs, threshold=0.0)
+
+
+Q49_ORACLE = """WITH _tok AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+_sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(0, greatest(len(tk) - 2, 1)),
+                       i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')))
+           AS sh
+  FROM _tok
+),
+_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 7 = 0
+)
+SELECT p.id_a, p.id_b,
+       round(cast(len(list_intersect(sa.sh, sb.sh)) AS double)
+             / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+FROM _pairs p
+JOIN _sh sa ON sa.doc_id = p.id_a
+JOIN _sh sb ON sb.doc_id = p.id_b"""
+
+
 def q50_exact_dedup_spark(spark, sf_dir):
     """Exact dedup through the capped ``exact_duplicates`` operator: the
     corpus is unioned with two shifted copies (every 3rd / 9th doc) so
@@ -1375,6 +1418,61 @@ SELECT md5(text) AS text_hash,
        cast(min(doc_id) AS bigint) AS keep_id,
        array_to_string(list_sort(list(doc_id)), ',') AS dup_ids
 FROM _all GROUP BY md5(text) HAVING count(*) > 1"""
+
+
+def q51_mp_histogram_spark(spark, sf_dir):
+    """A2's megapixel histogram (reference ``np.unique(return_counts=True)``
+    over rounded MPs, ``odem_process_impl.py:354-380``) over the derived
+    page media dimension."""
+    from ..functions.multimodal import megapixel_histogram
+
+    return megapixel_histogram(_page_media_df(_page_meta_df(spark, sf_dir)))
+
+
+Q51_ORACLE = _meta_oracle(
+    """SELECT round(round(width * height / 1000000.0, 2), 1) AS mps,
+       cast(count(*) AS bigint) AS n
+FROM page_meta_input GROUP BY 1"""
+)
+
+
+def q52_frame_plan_spark(spark, sf_dir):
+    """Video frame-sampling plan: one row per planned frame timestamp,
+    derived from metadata only (the decode itself is the guarded tier in
+    ``functions/multimodal``).  Durations derive deterministically from the
+    page dimension; every 4th page is 'video'."""
+    from ..functions.multimodal import frame_sample_plan
+
+    pm = _page_meta_df(spark, sf_dir)
+    media = pm.where((F.col("src_id") + F.col("media_ref").cast("int")) % 4 == 0).select(
+        F.concat(F.col("doc_id"), F.lit("_"), F.col("media_ref")).alias("media_id"),
+        "doc_id",
+        F.lit("video/mp4").alias("mime"),
+        F.struct(
+            F.col("width"),
+            F.col("height"),
+            F.lit(None).cast("int").alias("dpi"),
+            F.col("n_bytes"),
+            (F.lit(500) + (F.col("src_id") % 5) * F.lit(1750)).cast("long").alias(
+                "duration_ms"
+            ),
+        ).alias("meta"),
+    )
+    return frame_sample_plan(media, every_ms=1000)
+
+
+Q52_ORACLE = _meta_oracle(
+    """, _q52_media AS (
+  SELECT concat(doc_id, '_', media_ref) AS media_id, doc_id,
+         cast(500 + (src_id % 5) * 1750 AS bigint) AS duration_ms
+  FROM page_meta_input
+  WHERE (src_id + media_ref::int) % 4 = 0
+)
+SELECT media_id, doc_id,
+       cast(unnest(range(0, greatest(duration_ms // 1000, 1))) * 1000 AS bigint)
+         AS frame_ts_ms
+FROM _q52_media"""
+)
 
 
 def _named_sql(template: str) -> tuple[Callable, str]:
@@ -1440,6 +1538,9 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     reg["q46_cosine_neardup"] = (q46_cosine_neardup_spark, Q46_ORACLE)
     reg["q47_link_ocr_media"] = (q47_link_ocr_media_spark, Q47_ORACLE)
     reg["q48_shred_golden"] = (q48_shred_golden_spark, Q48_ORACLE)
+    reg["q49_jaccard_verify"] = (q49_jaccard_verify_spark, Q49_ORACLE)
+    reg["q51_mp_histogram"] = (q51_mp_histogram_spark, Q51_ORACLE)
+    reg["q52_frame_plan"] = (q52_frame_plan_spark, Q52_ORACLE)
     reg["q50_exact_dedup_groups"] = (q50_exact_dedup_spark, Q50_ORACLE)
     reg["q14_resume_antijoin"] = (q14_resume_antijoin_spark, Q14_ORACLE)
     reg["q31_events_rollup"] = (q31_events_rollup_spark, Q31_ORACLE)

@@ -72,6 +72,8 @@ STATE_SCHEMA = T.StructType(
         T.StructField("state", T.StringType(), False),
         T.StructField("n_docs", T.LongType(), True),
         T.StructField("n_spans_out", T.LongType(), True),
+        T.StructField("n_pages", T.LongType(), True),
+        T.StructField("n_dehyphenated", T.LongType(), True),
         T.StructField("run_id", T.StringType(), True),
     ]
 )

@@ -53,7 +53,11 @@ class StateStore:
         ]
 
     def mark_done(self, spark: SparkSession, rows: list[dict], run_id: str) -> None:
-        """Append one done-record per bucket (atomic single-file write)."""
+        """Append one done-record per bucket (atomic single-file write).
+
+        Lineage per bucket: docs, spans emitted, pages parsed (media spans)
+        and de-hyphenation fixes — the reference's extraction metrics
+        (pages / spans / dehyph counts) per partition."""
         df = spark.createDataFrame(
             [
                 {
@@ -61,11 +65,14 @@ class StateStore:
                     "state": MARK_DONE,
                     "n_docs": int(r["n_docs"]),
                     "n_spans_out": int(r["n_spans_out"]),
+                    "n_pages": int(r.get("n_pages", 0)),
+                    "n_dehyphenated": int(r.get("n_dehyphenated", 0)),
                     "run_id": run_id,
                 }
                 for r in rows
             ],
-            "bucket int, state string, n_docs long, n_spans_out long, run_id string",
+            "bucket int, state string, n_docs long, n_spans_out long, "
+            "n_pages long, n_dehyphenated long, run_id string",
         )
         tmp = os.path.join(os.path.dirname(self.path), f"_state_tmp_{uuid.uuid4().hex}")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -207,17 +214,38 @@ def _run_with_checkpoint_locked(
     )
     stats_by_bucket: dict[int, dict] = {}
     if bucket_dirs:
+        staged = spark.read.parquet(staging)
+        # the north rule's per-partition extraction metrics: pages parsed
+        # (media spans) derive from the output; de-hyphenation fixes fold
+        # in when the transform emitted its metrics column (extract
+        # with_metrics=True), else 0
+        fixes = (
+            F.coalesce(F.sum("n_dehyphenated"), F.lit(0))
+            if "n_dehyphenated" in staged.columns
+            else F.lit(0)
+        )
         agg = (
-            spark.read.parquet(staging)
-            .groupBy("_bucket")
+            staged.groupBy("_bucket")
             .agg(
                 F.count("*").alias("n_docs"),
                 F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("n_spans"),
+                F.coalesce(
+                    F.sum(
+                        F.size(F.filter("spans", lambda s: s["kind"] == "media"))
+                    ),
+                    F.lit(0),
+                ).alias("n_pages"),
+                fixes.alias("n_dehyphenated"),
             )
             .collect()
         )
         stats_by_bucket = {
-            int(r["_bucket"]): {"n_docs": r["n_docs"], "n_spans": r["n_spans"]}
+            int(r["_bucket"]): {
+                "n_docs": r["n_docs"],
+                "n_spans": r["n_spans"],
+                "n_pages": r["n_pages"],
+                "n_dehyphenated": r["n_dehyphenated"],
+            }
             for r in agg
         }
 
@@ -242,6 +270,8 @@ def _run_with_checkpoint_locked(
                     "bucket": b,
                     "n_docs": stats_by_bucket[b]["n_docs"],
                     "n_spans_out": stats_by_bucket[b]["n_spans"],
+                    "n_pages": stats_by_bucket[b]["n_pages"],
+                    "n_dehyphenated": stats_by_bucket[b]["n_dehyphenated"],
                 }
                 for b in published
             ],

@@ -54,12 +54,24 @@ def test_crash_resume_no_dupes(spark, docs_df, corpus):
         }
         assert direct == resumed
 
-        # lineage metrics cover every bucket with plausible counts
+        # lineage metrics cover every bucket with plausible counts,
+        # including the north rule's extraction metrics: pages parsed,
+        # spans emitted, de-hyphenation fixes per partition
         metrics = state.StateStore(st_dir).metrics(spark)
         agg = metrics.agg(
-            F.sum("n_docs").alias("docs"), F.countDistinct("bucket").alias("buckets")
+            F.sum("n_docs").alias("docs"),
+            F.countDistinct("bucket").alias("buckets"),
+            F.sum("n_pages").alias("pages"),
+            F.sum("n_spans_out").alias("spans"),
+            F.min("n_dehyphenated").alias("min_fixes"),
         ).collect()[0]
         assert agg["docs"] == len(corpus)
+        n_media = sum(
+            1 for d in corpus for s in d["spans"] if s["kind"] == "media"
+        )
+        assert agg["pages"] == n_media
+        assert agg["spans"] > 0
+        assert agg["min_fixes"] == 0  # plain extract emits no metrics column
 
 
 def test_writer_lock_guards_concurrent_runs(spark, docs_df, tmp_path):
@@ -91,3 +103,27 @@ def test_writer_lock_guards_concurrent_runs(spark, docs_df, tmp_path):
     )
     assert r["published"] > 0
     assert not os.path.exists(lock)  # released on exit
+
+
+def test_lineage_carries_dehyphenation_fixes(spark, docs_df, corpus, tmp_path):
+    """A metrics-emitting transform (extract with_metrics=True) folds its
+    de-hyphenation fix counts into the per-bucket lineage."""
+    out_dir = str(tmp_path / "out")
+    st_dir = str(tmp_path / "state")
+    r = state.run_with_checkpoint(
+        spark, docs_df,
+        lambda d: pipeline.extract(d, dehyphenate=True, with_metrics=True),
+        out_dir, st_dir, n_buckets=8,
+    )
+    assert r["published"] == 8
+    agg = state.StateStore(st_dir).metrics(spark).agg(
+        F.sum("n_dehyphenated").alias("fixes"),
+        F.sum("n_pages").alias("pages"),
+    ).collect()[0]
+    n_fixes_direct = (
+        pipeline.extract(docs_df, dehyphenate=True, with_metrics=True)
+        .agg(F.sum("n_dehyphenated")).collect()[0][0]
+    )
+    assert agg["fixes"] == n_fixes_direct and n_fixes_direct > 0
+    n_media = sum(1 for d in corpus for s in d["spans"] if s["kind"] == "media")
+    assert agg["pages"] == n_media
