@@ -1,0 +1,82 @@
+"""Opportunistic paired scaling probe.
+
+The shared host's throughput swings 2-3x between minutes, and a full
+3-pair probe (~14 min) almost always straddles a noise burst.  This
+script instead fires ONE back-to-back (n8, n32) flagship pair only when
+the 1-minute load average says the host is quiet, records the pair with
+its before/after load context, and sleeps otherwise.  The resulting log
+lets BENCH/BASELINE.md report the quiet-window pair honestly (pairs whose
+surrounding load stayed low) next to the all-window median.
+
+Usage::
+
+    python BENCH/probe_pairs.py [max_pairs] [max_minutes] [load_gate]
+
+Writes JSONL to BENCH/probe_pairs.jsonl (appends).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+LOG = os.path.join(REPO, "BENCH", "probe_pairs.jsonl")
+
+
+def load1() -> float:
+    return os.getloadavg()[0]
+
+
+def run_leg(cores: int, replicate: int = 96) -> dict:
+    env = os.environ.copy()
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    env.setdefault("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC")
+    proc = subprocess.run(
+        [sys.executable, BENCH, "--flagship-only", "--cores", str(cores),
+         "--replicate", str(replicate), "--mode", "hof"],
+        capture_output=True, text=True, env=env, check=True,
+    )
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    max_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    max_minutes = float(sys.argv[2]) if len(sys.argv) > 2 else 45
+    gate = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    deadline = time.time() + max_minutes * 60
+    done = 0
+    while done < max_pairs and time.time() < deadline:
+        l0 = load1()
+        if l0 > gate:
+            time.sleep(30)
+            continue
+        t0 = time.time()
+        r8 = run_leg(8)
+        l_mid = load1()
+        r32 = run_leg(32)
+        l1 = load1()
+        eff = round(r32["docs_per_sec"] / (4 * r8["docs_per_sec"]), 3)
+        rec = {
+            "ts": round(t0, 1),
+            "n8": r8["docs_per_sec"],
+            "n32": r32["docs_per_sec"],
+            "eff_8_32": eff,
+            "load_before": round(l0, 2),
+            "load_mid": round(l_mid, 2),
+            "load_after": round(l1, 2),
+            "elapsed_s": round(time.time() - t0, 1),
+        }
+        with open(LOG, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+        print(json.dumps(rec), flush=True)
+        done += 1
+        time.sleep(15)
+
+
+if __name__ == "__main__":
+    main()

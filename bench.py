@@ -143,17 +143,20 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     # same heap as the scaling probe (VERDICT r1 item 7: the default and the
-    # probe must measure the same configuration).  12g measured fastest in a
-    # 6/8/12/16/24/48g sweep of the 32-thread hof flagship — larger heaps
-    # LOSE throughput (23.8k @6g, 22.4k @12g, 19k @24g, 10.7k @48g docs/s;
-    # bigger young gen wrecks cache locality for the span-struct churn).
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
-    # explicit G1 + relaxed pause target measured 31.3-31.6k docs/s vs
-    # 21-23k default on the 32-thread hof flagship (the default pause
-    # target throttles young-gen size under 32 allocating threads)
-    os.environ.setdefault(
-        "SPARK_GRAFT_JAVA_OPTS", "-XX:+UseG1GC -XX:MaxGCPauseMillis=400"
-    )
+    # probe must measure the same configuration).  Round-3 interleaved GC
+    # comparison on the 32-thread hof flagship: ParallelGC consistently
+    # beats G1 in the same noise window (28.7k vs 20.8k, 18.0k vs 15.6k
+    # docs/s) — the span-struct churn is pure young-gen garbage, and
+    # ParallelGC's stop-the-world young collections with 32 GC threads
+    # clear it cheaper than G1's pause-target-throttled young gen.  At 8
+    # cores the two are equal (~10.2k vs ~10.7k), so the switch directly
+    # improves the 8->32 scaling ratio.  Heap: ParallelGC needs room for
+    # its fixed-ratio young gen — 12g measured 15.9k where 32g measured
+    # 23.5-27.7k across three windows (24g swung 12.9-28.8k; 32g was the
+    # most stable).  G1 12g (the round-1/2 default) kept for reference:
+    # 23.9/20.8/15.6k in the same paired windows.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+    os.environ.setdefault("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC")
 
     if args.flagship_only:
         spark = _session(args.cores)
@@ -176,11 +179,9 @@ def main() -> None:
 
         def run_once(cores: int, replicate: int, warmup: bool = True) -> dict:
             env = os.environ.copy()
-            # 12g + relaxed-pause G1 measured fastest (see main())
-            env.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
-            env.setdefault(
-                "SPARK_GRAFT_JAVA_OPTS", "-XX:+UseG1GC -XX:MaxGCPauseMillis=400"
-            )
+            # ParallelGC + 32g measured fastest and most stable (see main())
+            env.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
+            env.setdefault("SPARK_GRAFT_JAVA_OPTS", "-XX:+UseParallelGC")
             cmd = [sys.executable, os.path.abspath(__file__), "--flagship-only",
                    "--cores", str(cores), "--replicate", str(replicate),
                    "--mode", scaling_mode]

@@ -1475,6 +1475,95 @@ FROM _q52_media"""
 )
 
 
+def q53_index_normalize_spark(spark, sf_dir):
+    """T6: index-path punctuation strip (reference ``_normalize_content``,
+    ``lib/odem/processing/textdata.py`` index branch) — wide punctuation is
+    stripped unless the content is purely alphabetic.  Applied to the whole
+    line (mixed content -> stripped) and to its first token (often purely
+    alphabetic -> kept verbatim) so both branches face the oracle."""
+    from ..operators.replace import normalize_index_content
+
+    load_views(spark, sf_dir)
+    spans = spark.sql(
+        f"WITH {derive.spans_cte(SPARK)} "
+        "SELECT doc_id, offset, text FROM spans_input WHERE kind = 'text'"
+    )
+    first_tok = F.get(F.split(F.col("text"), " "), 0)
+    return spans.select(
+        "doc_id",
+        "offset",
+        normalize_index_content(F.col("text")).alias("line_norm"),
+        normalize_index_content(first_tok).alias("token_norm"),
+    )
+
+
+def _q53_oracle() -> str:
+    from ..constants import PUNCTUATIONS
+
+    punct = derive.sql_str(PUNCTUATIONS, DUCKDB)
+    alpha = r"'^[^\W\d_]+$'"
+    return f"""WITH {derive.spans_cte(DUCKDB)},
+_q53 AS (
+  SELECT doc_id, offset, text, string_split(text, ' ')[1] AS tok
+  FROM spans_input WHERE kind = 'text'
+)
+SELECT doc_id, offset,
+       CASE WHEN regexp_matches(text, {alpha}) THEN text
+            ELSE translate(text, {punct}, '') END AS line_norm,
+       CASE WHEN regexp_matches(tok, {alpha}) THEN tok
+            ELSE translate(tok, {punct}, '') END AS token_norm
+FROM _q53"""
+
+
+def q54_vocal_ligatures_spark(spark, sf_dir):
+    """T7: vocal-ligature fold (reference ``_normalize_vocal_ligatures``,
+    ``lib/odem/processing/textdata.py``) — base+COMBINING SMALL LETTER E
+    folds to the umlaut; a combining e after any other base raises the
+    error channel.  Ligatures are synthesized deterministically (every 'a'
+    gains a combining e; every 9th line also decorates 'n' to hit the
+    error branch)."""
+    from ..constants import COMBINING_SMALL_E as E
+    from ..operators.replace import normalize_vocal_ligatures
+
+    load_views(spark, sf_dir)
+    spans = spark.sql(
+        f"WITH {derive.spans_cte(SPARK)} "
+        "SELECT doc_id, offset, text FROM spans_input WHERE kind = 'text'"
+    )
+    syn = F.replace(F.col("text"), F.lit("a"), F.lit("a" + E))
+    syn = F.when(
+        F.col("offset") % 9 == 0, F.replace(syn, F.lit("n"), F.lit("n" + E))
+    ).otherwise(syn)
+    out = normalize_vocal_ligatures(syn)
+    return spans.select(
+        "doc_id",
+        "offset",
+        out["text"].alias("text_norm"),
+        out["error"].alias("error"),
+    )
+
+
+def _q54_oracle() -> str:
+    from ..constants import COMBINING_SMALL_E as E
+
+    syn = "replace(text, 'a', 'a" + E + "')"
+    syn = f"CASE WHEN offset % 9 = 0 THEN replace({syn}, 'n', 'n{E}') ELSE {syn} END"
+    folded = syn
+    for base, repl in (("a", "ä"), ("o", "ö"), ("u", "ü"),
+                       ("A", "Ä"), ("O", "Ö"), ("U", "Ü")):
+        folded = f"replace({folded}, '{base}{E}', '{repl}')"
+    return f"""WITH {derive.spans_cte(DUCKDB)},
+_q54 AS (
+  SELECT doc_id, offset, {syn} AS syn, {folded} AS folded
+  FROM spans_input WHERE kind = 'text'
+)
+SELECT doc_id, offset,
+       replace(folded, '{E}', '') AS text_norm,
+       CASE WHEN contains(folded, '{E}')
+            THEN concat('no conversion for combining e in: ', syn) END AS error
+FROM _q54"""
+
+
 def _named_sql(template: str) -> tuple[Callable, str]:
     spark_sql = template.replace("{STR}", "string")
     duck_sql = template.replace("{STR}", "varchar")
@@ -1541,6 +1630,8 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     reg["q49_jaccard_verify"] = (q49_jaccard_verify_spark, Q49_ORACLE)
     reg["q51_mp_histogram"] = (q51_mp_histogram_spark, Q51_ORACLE)
     reg["q52_frame_plan"] = (q52_frame_plan_spark, Q52_ORACLE)
+    reg["q53_index_normalize"] = (q53_index_normalize_spark, _q53_oracle())
+    reg["q54_vocal_ligatures"] = (q54_vocal_ligatures_spark, _q54_oracle())
     reg["q50_exact_dedup_groups"] = (q50_exact_dedup_spark, Q50_ORACLE)
     reg["q14_resume_antijoin"] = (q14_resume_antijoin_spark, Q14_ORACLE)
     reg["q31_events_rollup"] = (q31_events_rollup_spark, Q31_ORACLE)
