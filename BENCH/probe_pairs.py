@@ -32,6 +32,23 @@ def load1() -> float:
     return os.getloadavg()[0]
 
 
+def cpu_ticks() -> tuple[int, int]:
+    """(busy_own, steal) jiffies from /proc/stat — steal is hypervisor
+    time stolen by neighbor VMs, the direct measure of external
+    interference on this shared host."""
+    with open("/proc/stat") as fh:
+        f = fh.readline().split()
+    user, nice, system = int(f[1]), int(f[2]), int(f[3])
+    steal = int(f[8]) if len(f) > 8 else 0
+    return user + nice + system, steal
+
+
+def steal_pct(t0, t1, elapsed: float, ncpu: int = 32) -> float:
+    """Steal as % of total machine capacity over the interval."""
+    hz = os.sysconf("SC_CLK_TCK")
+    return round(100.0 * (t1[1] - t0[1]) / (elapsed * hz * ncpu), 2)
+
+
 def run_leg(cores: int, replicate: int = 96) -> dict:
     env = os.environ.copy()
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
@@ -56,9 +73,14 @@ def main() -> None:
             time.sleep(30)
             continue
         t0 = time.time()
+        c0 = cpu_ticks()
         r8 = run_leg(8)
+        t_mid = time.time()
+        c_mid = cpu_ticks()
         l_mid = load1()
         r32 = run_leg(32)
+        t1 = time.time()
+        c1 = cpu_ticks()
         l1 = load1()
         eff = round(r32["docs_per_sec"] / (4 * r8["docs_per_sec"]), 3)
         rec = {
@@ -69,6 +91,8 @@ def main() -> None:
             "load_before": round(l0, 2),
             "load_mid": round(l_mid, 2),
             "load_after": round(l1, 2),
+            "steal_pct_n8_leg": steal_pct(c0, c_mid, t_mid - t0),
+            "steal_pct_n32_leg": steal_pct(c_mid, c1, t1 - t_mid),
             "elapsed_s": round(time.time() - t0, 1),
         }
         with open(LOG, "a") as fh:
