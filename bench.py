@@ -33,6 +33,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "48"))
 
 
+def _steal_ticks() -> int:
+    """Hypervisor steal jiffies (/proc/stat field 8): time neighbor VMs
+    took from this one.  Recorded per bench run so every published number
+    carries its own interference context (this shared host swings 2-3x)."""
+    try:
+        with open("/proc/stat") as fh:
+            f = fh.readline().split()
+        return int(f[8]) if len(f) > 8 else 0
+    except (OSError, ValueError):
+        return 0
+
+
+def _steal_pct(t0: int, t1: int, elapsed: float, ncpu: int = 32) -> float:
+    """Steal as % of total machine capacity over the interval."""
+    if elapsed <= 0:
+        return 0.0
+    hz = os.sysconf("SC_CLK_TCK")
+    return round(100.0 * (t1 - t0) / (elapsed * hz * ncpu), 2)
+
+
 def prepare_corpus(spark, sf_dir: str, replicate: int) -> str:
     """Materialise the nested (doc_id, spans) corpus once per (sf, replicate).
 
@@ -163,7 +183,9 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         if not args.no_warmup:
             run_flagship(spark, sf_dir, args.replicate, args.mode)  # warm-up
+        t0, c0 = time.time(), _steal_ticks()
         result = run_flagship(spark, sf_dir, args.replicate, args.mode)
+        result["steal_pct"] = _steal_pct(c0, _steal_ticks(), time.time() - t0)
         print(json.dumps(result))
         spark.stop()
         return
@@ -280,11 +302,14 @@ def main() -> None:
         print(json.dumps(result))
         return
 
+    load_before = round(os.getloadavg()[0], 2)
+    run_t0, run_c0 = time.time(), _steal_ticks()
     spark = _session(args.cores)
     spark.sparkContext.setLogLevel("ERROR")
     qtimes = run_queries(spark, sf_dir)
     flag = run_flagship(spark, sf_dir, args.replicate, mode="arrow")
     flag_hof = run_flagship(spark, sf_dir, args.replicate, mode="hof")
+    steal = _steal_pct(run_c0, _steal_ticks(), time.time() - run_t0)
     print(json.dumps({
         "metric": "flagship_extract_dehyphenate_elapsed",
         "value": flag["elapsed_sec"],
@@ -297,6 +322,11 @@ def main() -> None:
         "out_chars": flag["out_chars"],
         "cores": args.cores,
         "replicate": args.replicate,
+        # interference context: this shared host's wall clock swings 2-3x
+        # with neighbor-VM load (see BENCH/BASELINE.md); a high steal_pct
+        # or load_before marks the window, not the plan
+        "load_before": load_before,
+        "steal_pct": steal,
     }))
     spark.stop()
 
