@@ -306,9 +306,15 @@ def main() -> None:
     run_t0, run_c0 = time.time(), _steal_ticks()
     spark = _session(args.cores)
     spark.sparkContext.setLogLevel("ERROR")
-    qtimes = run_queries(spark, sf_dir)
+    # flagship runs FIRST (with one warm-up), before the query sweep:
+    # measured after 49 queries the arrow number reads 3-5x slower from
+    # session pollution (cached blocks, checkpoint files, worker churn) —
+    # the flagship metric is engine throughput, not cold-start cost, and
+    # this order matches what --flagship-only (the scaling probe) measures
+    run_flagship(spark, sf_dir, args.replicate, mode="arrow")  # warm-up
     flag = run_flagship(spark, sf_dir, args.replicate, mode="arrow")
     flag_hof = run_flagship(spark, sf_dir, args.replicate, mode="hof")
+    qtimes = run_queries(spark, sf_dir)
     steal = _steal_pct(run_c0, _steal_ticks(), time.time() - run_t0)
     print(json.dumps({
         "metric": "flagship_extract_dehyphenate_elapsed",
