@@ -313,6 +313,7 @@ def main() -> None:
     # this order matches what --flagship-only (the scaling probe) measures
     run_flagship(spark, sf_dir, args.replicate, mode="arrow")  # warm-up
     flag = run_flagship(spark, sf_dir, args.replicate, mode="arrow")
+    run_flagship(spark, sf_dir, args.replicate, mode="hof")  # warm-up
     flag_hof = run_flagship(spark, sf_dir, args.replicate, mode="hof")
     qtimes = run_queries(spark, sf_dir)
     steal = _steal_pct(run_c0, _steal_ticks(), time.time() - run_t0)
