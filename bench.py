@@ -258,6 +258,11 @@ def main() -> None:
             "scaling_efficiency_2_to_8": eff_low,
             "scaling_efficiency_8_to_32": eff_high,
             "pair_efficiencies": [p[2] for p in pairs],
+            # per-leg hypervisor steal of the reported (median) pair —
+            # a pair with >=9% steal on its 32-thread leg is a neighbor
+            # burst, not the plan (see BENCH/BASELINE.md)
+            "steal_pct_n8": r8.get("steal_pct"),
+            "steal_pct_n32": r32.get("steal_pct"),
             "n_docs": r32["n_docs"],
         }
         reports = {8: r8, 32: r32}
@@ -280,7 +285,10 @@ def main() -> None:
                 f"| local[32] | {t32} | {reports[32]['elapsed_sec']} | {reports[32]['n_docs']} |\n\n"
                 f"**Scaling efficiency N→4N: 2→8 cores = {eff_low}; "
                 f"8→32 cores = {eff_high}** (requirement: ≥ 0.8; median of "
-                f"adjacent same-window pairs {[p[2] for p in pairs]}).\n\n"
+                f"adjacent same-window pairs {[p[2] for p in pairs]}; "
+                f"reported pair's hypervisor steal: n8 leg "
+                f"{r8.get('steal_pct')}%, n32 leg {r32.get('steal_pct')}% "
+                f"of machine capacity).\n\n"
                 "Protocol notes: the shared host's wall clock fluctuates with\n"
                 "neighbor load (2-3x between minutes), so (n8, n32) run\n"
                 "back-to-back per round and the MEDIAN pair efficiency is\n"
