@@ -1564,6 +1564,76 @@ SELECT doc_id, offset,
 FROM _q54"""
 
 
+# ---------------------------------------------------------------------------
+# q55 — INI-configured pipeline (O4 stage ordering + plans/config loader)
+# ---------------------------------------------------------------------------
+
+# Reference-format steps INI (``resources/odem.ocr-pipeline.steps.ini``
+# layout; ``init_steps`` at ``lib/odem/ocr/ocr_pipeline.py:631-651`` sorts
+# sections NUMERICALLY).  Section numbers are chosen so a lexical sort
+# would misorder them (step_10 < step_2 lexically): the regex stage must
+# run BEFORE the char dict for 'Jc' -> 'Ic' -> 'Ich' to chain, so any
+# ordering slip in the loader changes the output values, not just the
+# plan.  step_1/step_11's environment-bound types exercise the skip path.
+_Q55_INI = """[step_1]
+type = StepTesseract
+tesseract_bin = tesseract
+
+[step_2]
+type = StepPostReplaceCharsRegex
+pattern = (J[cdhmn])
+old = J
+new = I
+
+[step_10]
+type = StepPostReplaceChars
+dict_chars = {Ic:Ich, scan:Abtastung}
+
+[step_11]
+type = StepPostprocessALTO
+
+[step_12]
+type = StepPostMoveAlto
+path_target = /tmp/q55_moved
+"""
+
+
+def q55_ini_pipeline_spark(spark, sf_dir):
+    """O4 + config-driven instantiation as one driver query: parse a
+    reference-format steps INI (written deterministically at call time),
+    feed the resulting stage list to ``build_pipeline``, and run the
+    composed narrow plan over the derived span corpus (reference
+    ``init_steps`` + ``Step*`` chain, ``ocr_pipeline.py:631-651``)."""
+    import tempfile
+
+    from .config import load_steps_ini
+
+    path = os.path.join(tempfile.gettempdir(), "ocrd_q55_steps.ini")
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(_Q55_INI)
+    stages, _skipped = load_steps_ini(path)
+    run = pipeline.build_pipeline(["sort", *stages, "reoffset"])
+    return pipeline.to_flat(run(docs_nested_df(spark, sf_dir)))
+
+
+def _q55_oracle() -> str:
+    d = derive.dialect(DUCKDB)
+    sub = d["regex_sub"]("text", "J([cdhmn])", r"I\g<1>")
+    chain = f"replace(replace({sub}, 'Ic', 'Ich'), 'scan', 'Abtastung')"
+    post = derive.postprocess_line_sql(chain, DUCKDB)
+    return f"""WITH {derive.spans_cte(DUCKDB)},
+_q55 AS (
+  SELECT doc_id, kind,
+         CASE WHEN kind = 'text' THEN {post} ELSE text END AS text,
+         media_ref, offset AS o0
+  FROM spans_input
+)
+SELECT doc_id, kind, text, media_ref,
+       cast(row_number() OVER (PARTITION BY doc_id ORDER BY o0) - 1 AS int) AS offset
+FROM _q55
+WHERE kind = 'media' OR text <> ''"""
+
+
 def _named_sql(template: str) -> tuple[Callable, str]:
     spark_sql = template.replace("{STR}", "string")
     duck_sql = template.replace("{STR}", "varchar")
@@ -1632,6 +1702,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     reg["q52_frame_plan"] = (q52_frame_plan_spark, Q52_ORACLE)
     reg["q53_index_normalize"] = (q53_index_normalize_spark, _q53_oracle())
     reg["q54_vocal_ligatures"] = (q54_vocal_ligatures_spark, _q54_oracle())
+    reg["q55_ini_pipeline"] = (q55_ini_pipeline_spark, _q55_oracle())
     reg["q50_exact_dedup_groups"] = (q50_exact_dedup_spark, Q50_ORACLE)
     reg["q14_resume_antijoin"] = (q14_resume_antijoin_spark, Q14_ORACLE)
     reg["q31_events_rollup"] = (q31_events_rollup_spark, Q31_ORACLE)
