@@ -2,11 +2,12 @@
 
 Media payloads are opaque ``binary`` columns with typed metadata structs —
 the schema, partitioning, UDF signatures and Arrow batch shapes are real
-and tested; the actual codec work is STUBBED (``decode_image`` raises
-``NotImplementedError`` unless a deterministic fake decoder is requested)
-because no image/audio libraries exist in this container.  On a real
-cluster you drop PIL/torchaudio into ``_decode_image_bytes`` /
-``_sample_frames`` and nothing else changes.
+and tested.  Decode is tiered: a deterministic fake for CI, PIL for any
+format when importable, a pure-numpy decoder for uncompressed rasters
+(binary PPM / 24-bit BMP) that needs no codec library, and an honest
+``NotImplementedError`` (surfaced on the ``decode_error`` data channel)
+for compressed formats in codec-less containers.  On a real cluster you
+drop PIL/torchaudio in and nothing else changes.
 
 Reference tie-in: the OCR engine treats page images exactly this way — an
 opaque ref plus metadata (``lib/odem/processing/image.py:21-34`` computes
@@ -85,10 +86,71 @@ except ImportError:  # pragma: no cover - depends on environment
     HAS_PIL = False
 
 
+def _decode_raw_gray(payload: bytes):
+    """Pure-numpy decode of UNCOMPRESSED raster formats -> 2D float gray.
+
+    Supports binary PPM (P6, maxval 255) and 24-bit uncompressed BMP —
+    the formats that need no codec library, so real pixel decode works
+    even in containers without PIL.  Raises ValueError on malformed
+    input, NotImplementedError on formats that need a codec.
+    """
+    import numpy as np
+
+    luma = (0.299, 0.587, 0.114)
+    if payload[:2] == b"P6":
+        toks, i = [], 2
+        while len(toks) < 3:  # width, height, maxval; '#' comments allowed
+            while i < len(payload) and payload[i : i + 1].isspace():
+                i += 1
+            if payload[i : i + 1] == b"#":
+                i = payload.index(b"\n", i) + 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            toks.append(int(payload[i:j]))
+            i = j
+        i += 1  # single whitespace after maxval
+        w, h, maxval = toks
+        if maxval != 255:
+            raise ValueError(f"PPM maxval {maxval} unsupported")
+        px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+        rgb = px.reshape(h, w, 3).astype(np.float64)
+        return rgb @ np.array(luma)
+    if payload[:2] == b"BM":
+        off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(f"BMP bpp={bpp} compression={comp} needs a codec")
+        stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * abs(h), offset=off
+        ).reshape(abs(h), stride)[:, : w * 3]
+        bgr = rows.reshape(abs(h), w, 3).astype(np.float64)
+        if h > 0:  # positive height = bottom-up storage
+            bgr = bgr[::-1]
+        return bgr @ np.array(luma[::-1])  # BMP stores BGR
+    raise NotImplementedError(
+        "compressed image formats require a codec library not present in "
+        "this container (PPM/BMP decode natively; or pass fake=True)"
+    )
+
+
+def _quadrant_feature(gray) -> list[float]:
+    """2x2 block-mean feature (row-major quadrants), scaled to [0, 1]."""
+    h, w = gray.shape
+    hs, ws = max(h // 2, 1), max(w // 2, 1)
+    quads = (gray[:hs, :ws], gray[:hs, ws:], gray[hs:, :ws], gray[hs:, ws:])
+    return [float(q.mean()) / 255.0 if q.size else 0.0 for q in quads]
+
+
 def _decode_image_bytes(payload: bytes, fake: bool):
-    """Three tiers: deterministic fake (CI), PIL when importable (real
-    decode -> 2x2 grayscale feature), else NotImplementedError (honest
-    stub — no image library in this container)."""
+    """Decode tiers: deterministic fake (CI) -> PIL when importable (any
+    format) -> pure-numpy PPM/BMP (no codec needed) -> NotImplementedError
+    for compressed formats without a codec library."""
     if payload is None:
         raise ValueError("empty payload")
     if fake:
@@ -100,10 +162,7 @@ def _decode_image_bytes(payload: bytes, fake: bool):
 
         img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((2, 2))
         return [p / 255.0 for p in img.getdata()]
-    raise NotImplementedError(
-        "image decoding requires an image library not present in this "
-        "container; pass fake=True for the deterministic test decoder"
-    )
+    return _quadrant_feature(_decode_raw_gray(payload))
 
 
 def extract_image_features(

@@ -331,4 +331,53 @@ def test_pil_decode_tier(spark):
         assert [round(v, 4) for v in got["p1"]["feat"]] == [1.0, 1.0, 1.0, 1.0]
         assert got["p2"]["decode_error"]  # malformed -> error row, not crash
     else:
-        assert all("image library" in got[m]["decode_error"] for m in got)
+        assert all("codec library" in got[m]["decode_error"] for m in got)
+
+
+def test_numpy_raw_decode_tier(spark):
+    """Uncompressed rasters decode with NO codec library: binary PPM (P6)
+    and 24-bit BMP payloads yield exact quadrant-mean features while
+    compressed formats stay on the error channel.  (PIL, when present,
+    takes precedence and is covered by test_pil_decode_tier.)"""
+    if multimodal.HAS_PIL:  # tier unreachable when PIL importable
+        import pytest
+
+        pytest.skip("PIL present; numpy raw tier shadowed")
+
+    # 4x4 PPM, solid 2x2 quadrants: black, white, red, blue
+    head = b"P6\n# comment\n4 4\n255\n"
+    tl, tr, bl, br = b"\x00\x00\x00", b"\xff\xff\xff", b"\xff\x00\x00", b"\x00\x00\xff"
+    ppm = head + (tl * 2 + tr * 2) * 2 + (bl * 2 + br * 2) * 2
+
+    # 2x2 24-bit BMP, gray rows top-down [10, 20], [30, 40]; stored
+    # bottom-up with 4-byte row padding (6 -> 8)
+    def row(vals):
+        return b"".join(bytes([v, v, v]) for v in vals) + b"\x00\x00"
+
+    pixels = row([30, 40]) + row([10, 20])
+    bmp = (
+        b"BM" + (54 + len(pixels)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + (2).to_bytes(4, "little", signed=True)
+        + (2).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(pixels).to_bytes(4, "little")
+        + b"\x00" * 16
+    ) + pixels
+
+    meta = {"width": 4, "height": 4, "dpi": None, "n_bytes": 0, "duration_ms": None}
+    rows = [
+        ("ppm", "d1", "r1", "image/x-portable-pixmap", bytearray(ppm), meta),
+        ("bmp", "d1", "r2", "image/bmp", bytearray(bmp), meta),
+        ("jpg", "d1", "r3", "image/jpeg", bytearray(b"\xff\xd8\xff\xe0data"), meta),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           multimodal.extract_image_features(media).collect()}
+
+    assert got["ppm"]["decode_error"] is None
+    assert [round(v, 3) for v in got["ppm"]["feat"]] == [0.0, 1.0, 0.299, 0.114]
+    assert got["bmp"]["decode_error"] is None
+    assert [round(v * 255, 1) for v in got["bmp"]["feat"]] == [10.0, 20.0, 30.0, 40.0]
+    assert "codec library" in got["jpg"]["decode_error"]
