@@ -276,3 +276,114 @@ def lsh_cosine_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", F.col("rank").cast("int"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse-quantizer partition + probe
+# ---------------------------------------------------------------------------
+
+_Q_SCALE = 1048576.0  # 2^20 — same quantization as portable_int_planes
+
+
+def _let(value: Column, body) -> Column:
+    """Bind an expensive subexpression once inside interpreted HOF plans
+    (see operators/dehyphen.py for the idiom's rationale)."""
+    return F.get(F.transform(F.array(value), body), 0)
+
+
+def _quantized(vec: Column) -> Column:
+    """floor(x * 2^20) per component, kept as double: integer-valued
+    doubles stay EXACT below 2^53, so dot products are order-independent
+    and reproduce bit-identically in DuckDB (same idiom as the q30/q46
+    integer-plane signatures)."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * F.lit(_Q_SCALE)))
+
+
+def ranked_centroids(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """array<int> of centroid ids ordered by quantized inner product DESC
+    (tie -> lowest id) — element 0 is the IVF cell assignment, the first
+    ``n_probe`` elements are the probe set.
+
+    ``centroids`` are plan LITERALS (constant-folded): a coarse quantizer
+    is metadata-scale (10^2-10^4 cells even for 10^12 vectors), so it
+    rides in the plan like LSH hyperplanes do and the corpus-side
+    assignment is a narrow, shuffle-free projection.  Production path:
+    train k-means offline (e.g. on a corpus sample), store the centroid
+    table, collect it at plan-build time.
+    """
+    cent = F.array(*[
+        F.struct(
+            F.lit(int(cid)).cast("int").alias("cid"),
+            F.array(*[
+                F.floor(F.lit(float(x)) * F.lit(_Q_SCALE)) for x in cvec
+            ]).alias("cq"),
+        )
+        for cid, cvec in centroids
+    ])
+
+    def rank_with(vq: Column) -> Column:
+        scored = F.transform(
+            cent,
+            lambda e: F.struct(
+                F.aggregate(
+                    F.zip_with(vq, e["cq"], lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("dot"),
+                e["cid"].alias("cid"),
+            ),
+        )
+        ordered = F.array_sort(
+            scored,
+            lambda l, r: F.when(l["dot"] > r["dot"], -1)
+            .when(l["dot"] < r["dot"], 1)
+            .when(l["cid"] < r["cid"], -1)
+            .when(l["cid"] > r["cid"], 1)
+            .otherwise(0),
+        )
+        return F.transform(ordered, lambda s: s["cid"])
+
+    return _let(_quantized(vec), rank_with)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: corpus vectors are assigned to their nearest coarse
+    centroid (shuffle-free literal-argmax projection); each query probes
+    its ``n_probe`` nearest cells and scores ONLY those cells' vectors
+    via a broadcast equi-join on the cell id — the corpus never shuffles
+    and never cross-joins.  With ``n_probe == len(centroids)`` this
+    degrades gracefully to exact brute force (tested), which is the
+    recall dial's upper end.  Same output shape as ``cosine_topk``.
+    """
+    ranked = ranked_centroids(F.col(vec_col), centroids)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.get(ranked, 0).alias("cid"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(F.slice(ranked, 1, n_probe)).alias("cid"),
+    )
+    scored = c.join(F.broadcast(q), "cid").where(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("_cv"), F.col("_qv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rank").cast("int"))
+    )

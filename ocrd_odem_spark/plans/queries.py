@@ -1634,6 +1634,70 @@ FROM _q55
 WHERE kind = 'media' OR text <> ''"""
 
 
+# ---------------------------------------------------------------------------
+# q56 — IVF ANN top-k (coarse-quantizer cells + probe; third leg of the
+# brute/LSH/IVF similarity family)
+# ---------------------------------------------------------------------------
+
+
+def q56_ivf_topk_spark(spark, sf_dir):
+    """IVF over the embeddings table: centroid table = the 8 lowest
+    vec_ids (stand-in for an offline k-means table, collected at
+    plan-build time as the operator documents), queries = vec_id < 10,
+    2 probes, top-3."""
+    from ..functions.similarity import ivf_topk
+
+    load_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    cents = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    )
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 10), cents, k=3, n_probe=2)
+
+
+Q56_ORACLE = """WITH _cent AS (
+  SELECT vec_id AS cid,
+         list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS cq
+  FROM embeddings WHERE vec_id < 8
+),
+_v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS vq
+  FROM embeddings
+),
+_rank AS (
+  SELECT v.vec_id, c.cid,
+         row_number() OVER (PARTITION BY v.vec_id
+                            ORDER BY list_dot_product(v.vq, c.cq) DESC, c.cid) AS rn
+  FROM _v v, _cent c
+),
+_corpus AS (SELECT vec_id AS neighbor_id, cid FROM _rank WHERE rn = 1),
+_probe AS (SELECT vec_id AS query_id, cid FROM _rank WHERE vec_id < 10 AND rn <= 2),
+_cand AS (
+  SELECT p.query_id, c.neighbor_id
+  FROM _probe p JOIN _corpus c ON c.cid = p.cid
+  WHERE c.neighbor_id <> p.query_id
+),
+_scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         round(list_dot_product(ce.embedding::DOUBLE[], qe.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(ce.embedding::DOUBLE[], ce.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[]))),
+               6) AS sim
+  FROM _cand cd
+  JOIN embeddings ce ON ce.vec_id = cd.neighbor_id
+  JOIN embeddings qe ON qe.vec_id = cd.query_id
+),
+_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+  FROM _scored
+)
+SELECT query_id, neighbor_id, sim, cast(rank AS int) AS rank
+FROM _ranked WHERE rank <= 3"""
+
+
 def _named_sql(template: str) -> tuple[Callable, str]:
     spark_sql = template.replace("{STR}", "string")
     duck_sql = template.replace("{STR}", "varchar")
@@ -1703,6 +1767,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     reg["q53_index_normalize"] = (q53_index_normalize_spark, _q53_oracle())
     reg["q54_vocal_ligatures"] = (q54_vocal_ligatures_spark, _q54_oracle())
     reg["q55_ini_pipeline"] = (q55_ini_pipeline_spark, _q55_oracle())
+    reg["q56_ivf_ann_topk"] = (q56_ivf_topk_spark, Q56_ORACLE)
     reg["q50_exact_dedup_groups"] = (q50_exact_dedup_spark, Q50_ORACLE)
     reg["q14_resume_antijoin"] = (q14_resume_antijoin_spark, Q14_ORACLE)
     reg["q31_events_rollup"] = (q31_events_rollup_spark, Q31_ORACLE)

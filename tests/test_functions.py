@@ -212,6 +212,34 @@ def test_lsh_topk_recall(spark):
     assert hits >= len(approx1) // 2  # coarse recall sanity
 
 
+def test_ivf_topk_full_probe_equals_brute_force(spark):
+    """IVF's recall dial tops out at exactness: probing ALL cells makes
+    candidates = whole corpus, so results must EQUAL cosine_topk; with
+    n_probe=1 results stay a subset of each query's own-cell scoring."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where("vec_id < 6")
+    cents = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where("vec_id < 5").collect()
+    )
+    exact = sorted(map(tuple, similarity.cosine_topk(emb, queries, k=2).collect()))
+    full = sorted(map(tuple, similarity.ivf_topk(
+        emb, queries, cents, k=2, n_probe=len(cents)).collect()))
+    assert full == exact
+
+    narrow = similarity.ivf_topk(emb, queries, cents, k=2, n_probe=1).collect()
+    assert len(narrow) >= 1  # each query's own cell holds >= itself's cellmates
+    for r in narrow:
+        assert r["rank"] <= 2 and r["query_id"] != r["neighbor_id"]
+    # the corpus side must not shuffle: assignment is a literal projection
+    # and the probe join broadcasts the exploded queries
+    plan = similarity.ivf_topk(
+        emb, queries, cents, k=2, n_probe=1
+    )._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+
+
 def test_textstats_profile(spark):
     df = _docs_df(spark)
     prof = {r["doc_id"]: r for r in textstats.document_profile(df).collect()}
