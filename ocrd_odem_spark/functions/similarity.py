@@ -7,6 +7,11 @@
 * ``lsh_cosine_topk``  — scale path: random-hyperplane signatures bucket
   the corpus; per-bucket candidates only.  Hyperplanes are deterministic
   (seeded), so signatures are reproducible across runs/executors.
+* ``ivf_topk``         — scale path with a trained coarse quantizer:
+  corpus vectors assign to centroid cells (shuffle-free literal argmax),
+  queries probe their ``n_probe`` nearest cells; candidates come from a
+  broadcast equi-join on the cell id.  ``n_probe == K`` is provably
+  exact (equals ``cosine_topk``).
 
 Vectors stay ``array<float>`` end to end; all arithmetic happens in
 whole-plan JVM expressions (no Python per row).
