@@ -139,40 +139,58 @@ def _decode_raw_gray(payload: bytes):
     )
 
 
-def _quadrant_feature(gray) -> list[float]:
-    """2x2 block-mean feature (row-major quadrants), scaled to [0, 1]."""
+def downsample_gray(gray, out_h: int, out_w: int):
+    """Block-mean resize of a 2D gray array to (out_h, out_w) — the
+    numpy-tier equivalent of PIL's resize; row-major output order."""
+    import numpy as np
+
     h, w = gray.shape
-    hs, ws = max(h // 2, 1), max(w // 2, 1)
-    quads = (gray[:hs, :ws], gray[:hs, ws:], gray[hs:, :ws], gray[hs:, ws:])
-    return [float(q.mean()) / 255.0 if q.size else 0.0 for q in quads]
+    ys = np.linspace(0, h, out_h + 1).astype(int)
+    xs = np.linspace(0, w, out_w + 1).astype(int)
+    out = np.empty((out_h, out_w), dtype=np.float64)
+    for i in range(out_h):
+        for j in range(out_w):
+            block = gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                         xs[j]:max(xs[j + 1], xs[j] + 1)]
+            out[i, j] = block.mean() if block.size else 0.0
+    return out
 
 
-def _decode_image_bytes(payload: bytes, fake: bool):
-    """Decode tiers: deterministic fake (CI) -> PIL when importable (any
-    format) -> pure-numpy PPM/BMP (no codec needed) -> NotImplementedError
-    for compressed formats without a codec library."""
+def _decode_image_bytes(payload: bytes, fake: bool, size: tuple[int, int] = (2, 2)):
+    """Decode + downsample tiers: deterministic fake (CI) -> PIL when
+    importable (any format) -> pure-numpy PPM/BMP (no codec needed) ->
+    NotImplementedError for compressed formats without a codec library.
+    ``size`` = (height, width) of the block-mean feature grid."""
+    oh, ow = size
     if payload is None:
         raise ValueError("empty payload")
     if fake:
-        # deterministic fake: 4 'pixels' derived from payload bytes
-        b = payload[:16].ljust(16, b"\0")
-        return [b[0] / 255.0, b[5] / 255.0, b[10] / 255.0, b[15] / 255.0]
+        # deterministic fake: oh*ow 'pixels' cycled from payload bytes
+        n = oh * ow
+        b = (payload[: 4 * n] or b"\0") * (4 * n)
+        return [b[5 * i % len(b)] / 255.0 for i in range(n)]
     if HAS_PIL:
         import io
 
-        img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((2, 2))
+        img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((ow, oh))
         return [p / 255.0 for p in img.getdata()]
-    return _quadrant_feature(_decode_raw_gray(payload))
+    small = downsample_gray(_decode_raw_gray(payload), oh, ow)
+    return [float(v) / 255.0 for v in small.reshape(-1)]
 
 
 def extract_image_features(
-    media: DataFrame, fake_decoder: bool = False, batch_hint: int = 256
+    media: DataFrame,
+    fake_decoder: bool = False,
+    batch_hint: int = 256,
+    feature_size: tuple[int, int] = (2, 2),
 ) -> DataFrame:
-    """Arrow-batched decode/feature stage over binary payloads.
+    """Arrow-batched decode + resize/feature stage over binary payloads.
 
     ``mapInPandas`` keeps whole Arrow batches in flight — payload bytes move
     executor->Python once per batch, never per row.  Decode errors are a
-    data channel (``decode_error``), not task failures.
+    data channel (``decode_error``), not task failures.  ``feature_size``
+    (height, width) sets the block-mean downsample grid — (2, 2) gives the
+    4-float fingerprint, larger grids give thumbnail-resolution features.
     """
     import pandas as pd
 
@@ -181,7 +199,7 @@ def extract_image_features(
             out = []
             for rec in pdf.itertuples(index=False):
                 try:
-                    feat = _decode_image_bytes(rec.payload, fake_decoder)
+                    feat = _decode_image_bytes(rec.payload, fake_decoder, feature_size)
                     out.append((rec.media_id, rec.doc_id, rec.mime, feat, None))
                 except Exception as exc:  # noqa: BLE001 - decode errors are
                     # a data channel (incl. codec-library errors like PIL's

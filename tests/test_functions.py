@@ -409,3 +409,12 @@ def test_numpy_raw_decode_tier(spark):
     assert got["bmp"]["decode_error"] is None
     assert [round(v * 255, 1) for v in got["bmp"]["feat"]] == [10.0, 20.0, 30.0, 40.0]
     assert "codec library" in got["jpg"]["decode_error"]
+
+    # resize dial: a 4x4 grid over the 4x4 PPM is the identity downsample —
+    # each output cell is one source pixel's luma
+    grid = {r["media_id"]: r for r in multimodal.extract_image_features(
+        media, feature_size=(4, 4)).collect()}
+    f = [round(v, 3) for v in grid["ppm"]["feat"]]
+    assert len(f) == 16
+    assert f[0:4] == [0.0, 0.0, 1.0, 1.0]      # row 0: black black white white
+    assert f[8:12] == [0.299, 0.299, 0.114, 0.114]  # row 2: red red blue blue
