@@ -316,6 +316,8 @@ def ranked_centroids(vec: Column, centroids: list[tuple[int, list[float]]]) -> C
     train k-means offline (e.g. on a corpus sample), store the centroid
     table, collect it at plan-build time.
     """
+    if not centroids:
+        raise ValueError("IVF needs a non-empty centroid table")
     cent = F.array(*[
         F.struct(
             F.lit(int(cid)).cast("int").alias("cid"),
