@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..constants import BAD_CHARS_SANITIZE, LONG_S
+from .dehyphen import _let
 
 _WS_TOKENS = lambda s: F.filter(F.split(F.trim(s), r"\s+"), lambda x: x != "")  # noqa: E731
 
@@ -34,24 +35,19 @@ def sanitize_line(line: Column) -> Column:
     return F.array_join(toks, " ")
 
 
-def dehyphenate_line_array(lines: Column) -> Column:
-    """Sequential wrap-merge fold over a plain line-text array (one page).
-
-    Same carried-state trick as ``dehyphen.dehyphenate_spans`` — see there
-    for why a fold (not a window) is required.  Returns
-    ``struct<out: array<string>, n_merges: int>``.
-    """
+def _line_pairs(lines: Column) -> Column:
+    """(cur, nxt) pairs of token-decomposed lines (nxt null for the last)."""
     enriched = F.transform(
         lines,
-        lambda l: F.struct(
-            l.alias("text"),
-            F.get(_WS_TOKENS(l), 0).alias("first_tok"),
-            F.array_join(
-                F.slice(
-                    _WS_TOKENS(l), 2, F.greatest(F.size(_WS_TOKENS(l)) - 1, F.lit(0))
-                ),
-                " ",
-            ).alias("rest"),
+        lambda l: _let(
+            _WS_TOKENS(l),
+            lambda toks: F.struct(
+                l.alias("text"),
+                F.get(toks, 0).alias("first_tok"),
+                F.array_join(
+                    F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))), " "
+                ).alias("rest"),
+            ),
         ),
     )
     n = F.size(enriched)
@@ -59,10 +55,33 @@ def dehyphenate_line_array(lines: Column) -> Column:
         F.slice(enriched, 2, F.greatest(n - 1, F.lit(0))),
         F.array(F.lit(None).cast("struct<text:string,first_tok:string,rest:string>")),
     )
-    pairs = F.filter(
+    return F.filter(
         F.zip_with(enriched, successors, lambda c, x: F.struct(c.alias("cur"), x.alias("nxt"))),
         lambda p: p["cur"].isNotNull(),
     )
+
+
+def dehyphenate_line_array(lines: Column) -> Column:
+    """Wrap-merge fold over a plain line-text array (one page).
+
+    Same carried-state trick as ``dehyphen.dehyphenate_spans`` — see there
+    for why a fold (not a window) is required.  Returns
+    ``struct<out: array<string>, n_merges: int>``.
+
+    Two-tier dispatch by size, mirroring ``dehyphen.dehyphenate_spans``:
+    pages up to 512 lines take the exact fold (fastest at small n); an
+    oversized single page (a 10^4-line table digitisation) takes the marks
+    tier, whose array work is linear — the fold's immutable output-array
+    append is O(n²) per page.  Both tiers proven equal in tests.
+    """
+    return F.when(
+        F.size(lines) <= F.lit(512), _line_fold(lines)
+    ).otherwise(_line_marks(lines))
+
+
+def _line_fold(lines: Column) -> Column:
+    """Exact sequential fold tier (chain-correct for any input)."""
+    pairs = _line_pairs(lines)
     init = F.struct(
         F.array().cast("array<string>").alias("out"),
         F.lit(False).alias("took"),
@@ -99,6 +118,88 @@ def dehyphenate_line_array(lines: Column) -> Column:
         pairs, init, step,
         lambda acc: F.struct(acc["out"].alias("out"), acc["n_merges"].alias("n_merges")),
     )
+
+
+def _line_marks(lines: Column) -> Column:
+    """Exact chain-correct tier with LINEAR array work (oversized pages).
+
+    Pass 1 folds one decision character per line ('m' merged / 'd' dropped /
+    'k' kept) into a string accumulator; pass 2 rebuilds each output line
+    from its mark and its predecessor's mark with a pure ``transform``.
+    Same construction as ``dehyphen._dehyphenate_marks`` (see there for the
+    ``_let`` rationale), specialised to bare line strings.
+    """
+
+    def with_pairs(pairs: Column) -> Column:
+        init = F.struct(
+            F.lit("").alias("marks"),
+            F.lit(False).alias("took"),
+            F.lit(0).alias("n_merges"),
+        )
+
+        def step(acc: Column, p: Column) -> Column:
+            eff = F.when(acc["took"], p["cur"]["rest"]).otherwise(p["cur"]["text"])
+            scope = p["nxt"].isNotNull() & F.endswith(eff, F.lit("-"))
+            mark = (
+                F.when(scope & (F.trim(p["nxt"]["text"]) == ""), F.lit("d"))
+                .when(scope, F.lit("m"))
+                .otherwise(F.lit("k"))
+            )
+            return F.struct(
+                F.concat(acc["marks"], mark).alias("marks"),
+                (mark == "m").alias("took"),
+                (acc["n_merges"] + (mark == "m").cast("int")).alias("n_merges"),
+            )
+
+        fold = F.aggregate(
+            pairs, init, step,
+            lambda acc: F.struct(
+                acc["marks"].alias("marks"), acc["n_merges"].alias("n_merges")
+            ),
+        )
+
+        def with_fold(fs: Column) -> Column:
+            marks_arr = F.slice(F.split(fs["marks"], ""), 1, F.size(pairs))
+            prev_arr = F.concat(
+                F.array(F.lit("k")),
+                F.slice(
+                    F.split(fs["marks"], ""), 1,
+                    F.greatest(F.size(pairs) - 1, F.lit(0)),
+                ),
+            )
+            zipped = F.zip_with(
+                pairs, marks_arr,
+                lambda p, m: F.struct(p.alias("p"), m.alias("mark")),
+            )
+            trips = F.zip_with(
+                zipped, prev_arr,
+                lambda z, pm: F.struct(
+                    z["p"].alias("p"), z["mark"].alias("mark"), pm.alias("prev_mark")
+                ),
+            )
+
+            def build(t: Column) -> Column:
+                took = t["prev_mark"] == "m"
+                eff = F.when(took, t["p"]["cur"]["rest"]).otherwise(t["p"]["cur"]["text"])
+                merged = F.concat(
+                    F.substr(eff, F.lit(1), F.length(eff) - 1),
+                    t["p"]["nxt"]["first_tok"],
+                )
+                # zip_with pads the shorter side: an empty page yields one
+                # (p=null, prev='k') trip — the isNull guard drops it
+                return F.when(
+                    (t["mark"] == "d") | t["p"].isNull(),
+                    F.array().cast("array<string>"),
+                ).otherwise(
+                    F.array(F.when(t["mark"] == "m", merged).otherwise(eff))
+                )
+
+            out = F.flatten(F.transform(trips, build))
+            return F.struct(out.alias("out"), fs["n_merges"].alias("n_merges"))
+
+        return _let(fold, with_fold)
+
+    return _let(_line_pairs(lines), with_pairs)
 
 
 def page_text_stats(docs: DataFrame, minlen: int = 2) -> DataFrame:

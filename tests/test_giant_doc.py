@@ -106,3 +106,39 @@ def test_giant_chainy_doc_linear_marks_tier(spark):
     t0 = time.time()
     assert _got(df, "hof") == golden
     assert time.time() - t0 < 150  # the O(n²) fold took minutes here
+
+
+def test_giant_single_page_stats_linear(spark):
+    """A 10^4-line SINGLE page must take the linear marks tier inside
+    page_text_stats — the O(n²) fold would take minutes; linear runs in
+    seconds and matches the oracle exactly."""
+    from ocrd_odem_spark.operators.quality import page_text_stats
+
+    n = 10_000
+    lines = []
+    for i in range(n):
+        if i % 3 == 0:
+            lines.append(f"wrap{i}-")          # chain-heavy: thirds hyphenate
+        elif i % 7 == 0:
+            lines.append(" ")                   # blank successor drops
+        else:
+            lines.append(f"wort{i} rest{i}")
+    spans = [
+        {"kind": "media", "text": "", "media_ref": "p0001", "offset": 0},
+        *(
+            {"kind": "text", "text": t, "media_ref": "p0001", "offset": i + 1}
+            for i, t in enumerate(lines)
+        ),
+    ]
+    doc = {"doc_id": "giantpage", "spans": spans}
+    df = spark.createDataFrame([doc], DOCS_SCHEMA)
+    t0 = time.time()
+    rows = page_text_stats(df).collect()
+    elapsed = time.time() - t0
+    assert len(rows) == 1
+    st = oracle.textlines_to_data([t for t in lines if len(t) > 0])
+    r = rows[0]
+    assert (
+        r["file_string"], r["n_lines"], r["n_normalized"], r["n_sparse"], r["n_dense"]
+    ) == (st.file_string, st.n_lines, st.n_normalized, st.n_sparse, st.n_dense)
+    assert elapsed < 60, f"marks tier should be linear, took {elapsed:.1f}s"

@@ -87,3 +87,37 @@ def test_spark_matches_oracle_on_edge_lines(spark):
         got = (list(r["f"]["out"]), r["f"]["n_merges"])
         want = oracle.dehyphenate_lines(list(r["lines"]))
         assert got == (want[0], want[1]), (list(r["lines"]), got, want)
+
+
+def test_line_array_tiers_equal(spark):
+    """Fold and marks tiers of dehyphenate_line_array are byte-equal on
+    chain-heavy / blank-successor / single-token pages (and both match the
+    oracle) — the size gate must never change results."""
+    from pyspark.sql import functions as F
+
+    from ocrd_odem_spark.operators.quality import _line_fold, _line_marks
+
+    pages = [
+        ["a-", "b-", "c-", "d"],
+        ["x-", "", "y"],
+        ["wort-", "teil rest"],
+        ["nix"],
+        [],
+        ["einzel-"],
+        ["a-", " ", "b"],
+        ["end-", "x-", "", "q r s"],
+        ["nur-"] * 40 + ["ende"],
+        ["w1 w2 w3-", "w4-", "w5 w6", "-", "--", "a- "],
+    ]
+    pdf = spark.createDataFrame([(p,) for p in pages], "lines array<string>")
+    out = pdf.select(
+        "lines",
+        _line_fold(F.col("lines")).alias("fold"),
+        _line_marks(F.col("lines")).alias("marks"),
+    ).collect()
+    for r in out:
+        fold = (list(r["fold"]["out"]), r["fold"]["n_merges"])
+        marks = (list(r["marks"]["out"]), r["marks"]["n_merges"])
+        assert fold == marks, (list(r["lines"]), fold, marks)
+        want = oracle.dehyphenate_lines(list(r["lines"]))
+        assert fold == (want[0], want[1]), (list(r["lines"]), fold, want)
