@@ -26,6 +26,7 @@ crash recomputes only unpublished buckets.
 
 from __future__ import annotations
 
+import fcntl
 import os
 import shutil
 import uuid
@@ -33,6 +34,16 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..constants import MARK_DONE
+
+# Explicit read schema: the state table gained n_pages/n_dehyphenated after
+# round 2.  Schema inference samples ONE footer, so a state dir mixing
+# pre-upgrade 5-column and current 7-column files would nondeterministically
+# drop the new columns or throw; reading with the declared schema makes old
+# files surface nulls deterministically instead (ADVICE r3).
+STATE_SCHEMA = (
+    "bucket int, state string, n_docs long, n_spans_out long, "
+    "n_pages long, n_dehyphenated long, run_id string"
+)
 
 
 class StateStore:
@@ -46,7 +57,7 @@ class StateStore:
         files = [f for f in os.listdir(self.path) if f.endswith(".parquet")]
         if not files:
             return []
-        df = spark.read.parquet(self.path)
+        df = spark.read.schema(STATE_SCHEMA).parquet(self.path)
         return [
             r["bucket"]
             for r in df.where(F.col("state") == MARK_DONE).select("bucket").distinct().collect()
@@ -71,8 +82,7 @@ class StateStore:
                 }
                 for r in rows
             ],
-            "bucket int, state string, n_docs long, n_spans_out long, "
-            "n_pages long, n_dehyphenated long, run_id string",
+            STATE_SCHEMA,
         )
         tmp = os.path.join(os.path.dirname(self.path), f"_state_tmp_{uuid.uuid4().hex}")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -85,7 +95,7 @@ class StateStore:
         shutil.rmtree(tmp, ignore_errors=True)
 
     def metrics(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.path)
+        return spark.read.schema(STATE_SCHEMA).parquet(self.path)
 
 
 def run_with_checkpoint(
@@ -111,9 +121,13 @@ def run_with_checkpoint(
 
     # single-writer guard: two concurrent runs sharing an output_path would
     # sweep each other's LIVE staging below and interleave bucket renames.
-    # The lock file records pid:run_id; a lock held by a dead pid is stale
-    # (crashed run) and is reclaimed — its staging is then safe to sweep.
-    _acquire_writer_lock(output_path, run_id)
+    # The guard is an fcntl.flock held on a persistent fd for the whole run:
+    # the kernel releases it automatically when a crashed holder's fd closes,
+    # so there is no stale-lock reclaim step to race on (the old pid-in-file
+    # scheme had a check-then-unlink TOCTOU where two resuming runs could
+    # both observe a dead holder and the slower unlink the winner's fresh
+    # lock, and a recycled pid read as live — ADVICE r3).
+    lock_fd = _acquire_writer_lock(output_path, run_id)
     try:
         # sweep staging left by crashed runs — resume uses a fresh run_id,
         # so a stale _staging_<old> dir would otherwise leak forever (safe
@@ -126,58 +140,45 @@ def run_with_checkpoint(
             n_buckets, fail_after_buckets,
         )
     finally:
-        _release_writer_lock(output_path, run_id)
-
-
-def _pid_alive(pid: int) -> bool:
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True
-    return True
+        _release_writer_lock(lock_fd)
 
 
 def _lock_path(output_path: str) -> str:
     return os.path.join(output_path, "_writer.lock")
 
 
-def _acquire_writer_lock(output_path: str, run_id: str) -> None:
-    path = _lock_path(output_path)
-    while True:
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, f"{os.getpid()}:{run_id}".encode())
-            os.close(fd)
-            return
-        except FileExistsError:
-            try:
-                with open(path, encoding="utf-8") as fh:
-                    holder_pid = int(fh.read().split(":", 1)[0])
-            except (OSError, ValueError):
-                holder_pid = None
-            if holder_pid is not None and _pid_alive(holder_pid):
-                raise RuntimeError(
-                    f"output_path {output_path!r} is locked by live writer "
-                    f"pid {holder_pid}; concurrent runs on one output_path "
-                    "are not supported"
-                )
-            # stale lock from a crashed run: reclaim and retry
-            try:
-                os.unlink(path)
-            except FileNotFoundError:
-                pass
+def _acquire_writer_lock(output_path: str, run_id: str) -> int:
+    """Take an exclusive non-blocking flock on the lock file; return the fd.
 
-
-def _release_writer_lock(output_path: str, run_id: str) -> None:
-    path = _lock_path(output_path)
+    The fd stays open for the run's lifetime — the lock dies with the
+    process (kernel-released on crash), so staleness never has to be
+    inferred from pids.  flock is per open-file-description, so a second
+    acquire in the SAME process conflicts too.  The pid:run_id contents are
+    diagnostic only, never used for liveness decisions.
+    """
+    fd = os.open(_lock_path(output_path), os.O_CREAT | os.O_RDWR)
     try:
-        with open(path, encoding="utf-8") as fh:
-            if fh.read().split(":", 1)[1] != run_id:
-                return  # someone reclaimed a lock we lost; leave theirs
-        os.unlink(path)
-    except (OSError, IndexError):
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except BlockingIOError:
+        try:
+            holder = os.read(fd, 256).decode("utf-8", "replace")
+        finally:
+            os.close(fd)
+        raise RuntimeError(
+            f"output_path {output_path!r} is locked by live writer "
+            f"({holder or 'unknown'}); concurrent runs on one output_path "
+            "are not supported"
+        )
+    os.ftruncate(fd, 0)
+    os.write(fd, f"{os.getpid()}:{run_id}".encode())
+    return fd
+
+
+def _release_writer_lock(fd: int) -> None:
+    try:
+        os.ftruncate(fd, 0)
+        os.close(fd)  # closes the descriptor -> kernel drops the flock
+    except OSError:
         pass
 
 

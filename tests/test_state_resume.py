@@ -76,8 +76,10 @@ def test_crash_resume_no_dupes(spark, docs_df, corpus):
 
 def test_writer_lock_guards_concurrent_runs(spark, docs_df, tmp_path):
     """Two runs sharing an output_path must not sweep each other's live
-    staging (ADVICE r2): a live lock rejects the second writer; a stale
-    lock (dead pid) is reclaimed."""
+    staging (ADVICE r2/r3): a held flock rejects the second writer; a
+    crashed writer's lock (fd gone, file left behind) is free — the kernel
+    released the flock with the process, so there is no reclaim race."""
+    import fcntl
     import os
 
     import pytest as _pytest
@@ -86,23 +88,26 @@ def test_writer_lock_guards_concurrent_runs(spark, docs_df, tmp_path):
     st_dir = str(tmp_path / "state")
     os.makedirs(out_dir, exist_ok=True)
 
-    # simulate a LIVE concurrent writer (our own pid is alive)
+    # simulate a LIVE concurrent writer: hold the flock ourselves
     lock = os.path.join(out_dir, "_writer.lock")
-    with open(lock, "w", encoding="utf-8") as fh:
-        fh.write(f"{os.getpid()}:deadbeef0000")
-    with _pytest.raises(RuntimeError, match="locked by live writer"):
-        state.run_with_checkpoint(
-            spark, docs_df, lambda d: d, out_dir, st_dir, n_buckets=4
-        )
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    os.write(fd, b"12345:deadbeef0000")
+    try:
+        with _pytest.raises(RuntimeError, match="locked by live writer"):
+            state.run_with_checkpoint(
+                spark, docs_df, lambda d: d, out_dir, st_dir, n_buckets=4
+            )
+    finally:
+        os.close(fd)
 
-    # a crashed writer (dead pid) leaves a stale lock -> reclaimed, run ok
-    with open(lock, "w", encoding="utf-8") as fh:
-        fh.write("999999999:deadbeef0000")
+    # a crashed writer leaves the FILE but not the lock (fd closed above
+    # stands in for process death) -> next run acquires immediately
+    assert os.path.exists(lock)
     r = state.run_with_checkpoint(
         spark, docs_df, lambda d: d, out_dir, st_dir, n_buckets=4
     )
     assert r["published"] > 0
-    assert not os.path.exists(lock)  # released on exit
 
 
 def test_lineage_carries_dehyphenation_fixes(spark, docs_df, corpus, tmp_path):
@@ -127,3 +132,38 @@ def test_lineage_carries_dehyphenation_fixes(spark, docs_df, corpus, tmp_path):
     assert agg["fixes"] == n_fixes_direct and n_fixes_direct > 0
     n_media = sum(1 for d in corpus for s in d["spans"] if s["kind"] == "media")
     assert agg["pages"] == n_media
+
+
+def test_state_dir_mixed_schema_reads_deterministically(spark, tmp_path):
+    """A pre-upgrade 5-column state file mixed with current 7-column files
+    must not lose columns or throw (ADVICE r3): the explicit read schema
+    surfaces nulls for the old file's missing lineage columns."""
+    st_dir = str(tmp_path / "state")
+    store = state.StateStore(st_dir)
+
+    # current-schema file via the normal append path
+    store.mark_done(
+        spark,
+        [{"bucket": 1, "n_docs": 2, "n_spans_out": 10,
+          "n_pages": 3, "n_dehyphenated": 1}],
+        "run_new",
+    )
+    # pre-upgrade file: five columns only, written directly
+    old = spark.createDataFrame(
+        [(0, "ocr_done", 5, 50, "run_old")],
+        "bucket int, state string, n_docs long, n_spans_out long, run_id string",
+    )
+    import glob
+    import os
+    import shutil
+
+    tmp_old = str(tmp_path / "_old")
+    old.coalesce(1).write.mode("overwrite").parquet(tmp_old)
+    src = glob.glob(os.path.join(tmp_old, "*.parquet"))[0]
+    shutil.move(src, os.path.join(st_dir, "run_old_legacy.parquet"))
+
+    assert sorted(store.done_buckets(spark)) == [0, 1]
+    rows = {r["bucket"]: r for r in store.metrics(spark).collect()}
+    assert rows[1]["n_pages"] == 3 and rows[1]["n_dehyphenated"] == 1
+    assert rows[0]["n_pages"] is None and rows[0]["n_dehyphenated"] is None
+    assert rows[0]["n_docs"] == 5
