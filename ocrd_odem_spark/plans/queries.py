@@ -1182,10 +1182,10 @@ SELECT a.doc_id,
               lpad(cast(t.secs % 60 AS varchar), 2, '0')) AS timedelta
 FROM (
   SELECT doc_id, cast(count(*) AS bigint) AS n_images_pages,
-         cast(sum(CASE WHEN NOT (label LIKE '%Colorchecker%'
+         cast(sum(CASE WHEN coalesce(NOT (label LIKE '%Colorchecker%'
                                  OR label LIKE '%Leerseite%'
                                  OR list_contains(log_types, 'cover_front')
-                                 OR list_contains(log_types, 'cover_back'))
+                                 OR list_contains(log_types, 'cover_back')), TRUE)
                         AND media_ref IS NOT NULL THEN 1 ELSE 0 END) AS bigint)
            AS n_images_ocrable,
          cast(sum(CASE WHEN len(log_types) = 0 THEN 1 ELSE 0 END) AS bigint)

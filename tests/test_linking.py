@@ -180,3 +180,28 @@ def test_process_statistics(spark, doc_meta_df, page_meta_df):
             1 for r in rows if not r["log_types"]
         )
         assert got["languages"] == langs[doc_id]
+
+
+def test_process_statistics_null_label_counts_ocrable(spark, doc_meta_df, page_meta_df):
+    """NULL-label pages count as ocrable (the blacklist predicate is
+    NULL-hardened with coalesce(..., TRUE)); the q44 oracle mirrors the
+    same coalesce, and this pins the semantics the fixtures never exercise
+    (ADVICE r3)."""
+    from pyspark.sql import functions as F
+
+    one_doc = page_meta_df.where(F.col("doc_id") == page_meta_df.first()["doc_id"])
+    nulled = one_doc.withColumn("label", F.lit(None).cast("string"))
+    stats = pipeline.process_statistics(
+        doc_meta_df, nulled
+    ).collect()
+    assert len(stats) == 1
+    r = stats[0]
+    with_ref = one_doc.where(F.col("media_ref").isNotNull())
+    # with label NULL, only the log_types arm of the blacklist can fire
+    expect = with_ref.where(
+        ~(
+            F.array_contains("log_types", "cover_front")
+            | F.array_contains("log_types", "cover_back")
+        )
+    ).count()
+    assert r["n_images_ocrable"] == expect
