@@ -394,3 +394,122 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", F.col("rank").cast("int"))
     )
+
+
+def train_centroids(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_mod: int | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Offline coarse-quantizer trainer: driver-coordinated Lloyd
+    iterations producing the centroid table that ``ivf_topk`` consumes.
+
+    Deterministic and integer-exact by construction, so an oracle can
+    replay it bit-for-bit:
+
+    * seeds  — the ``k`` lowest-id vectors (no RNG; a k-means++ draw would
+      make the result irreproducible across engines),
+    * space  — vectors quantized to ``floor(x * 2^20)`` (the package-wide
+      integer grid): distances and per-cluster component sums are exact
+      integer arithmetic below 2^53,
+    * assign — nearest centroid by squared L2, expressed as
+      ``argmin(dot(c,c) - 2*dot(v,c))`` (the ``dot(v,v)`` term is constant
+      per vector); ties break to the lowest centroid id,
+    * update — per-component ``floor(sum / n)`` with IEEE double division
+      (sum and n are exact integers, so both engines round identically);
+      an emptied cluster keeps its previous centroid,
+    * stop   — a FIXED iteration count (``n_iter``), not a convergence
+      test, so the oracle unrolls the same number of steps.
+
+    Each iteration is ONE distributed job: centroids ride into the plan as
+    literals (metadata-scale, like LSH hyperplanes), assignment is a
+    narrow projection, and the only shuffle is the (cid, component) sum —
+    k*dim cells, collected to the driver (k*dim doubles, not data-scale).
+    At 10^12 vectors, train on a hash sample via ``sample_mod`` (keep ids
+    with ``xxhash64(id) % sample_mod == 0``); the centroid table is
+    metadata whose quality, not the corpus, bounds recall.
+
+    Returns ``[(cid, centroid)]`` with integer-valued components scaled
+    back to the original embedding space (exact: the components are
+    multiples of 2^-20, so ``ranked_centroids``' re-quantization
+    round-trips bit-identically).
+    """
+    import math
+
+    if k < 1 or n_iter < 0:
+        raise ValueError("k >= 1 and n_iter >= 0 required")
+    base = df.select(
+        F.col(id_col).alias("_id"), _quantized(F.col(vec_col)).alias("vq")
+    )
+    if sample_mod is not None:
+        base = base.where(F.pmod(F.xxhash64(F.col("_id")), F.lit(sample_mod)) == 0)
+    base = base.localCheckpoint(eager=False)
+
+    seed_rows = base.orderBy("_id").limit(k).collect()
+    if len(seed_rows) < k:
+        raise ValueError(f"need at least k={k} vectors, found {len(seed_rows)}")
+    cents: list[tuple[int, list[int]]] = [
+        (i, [int(x) for x in r["vq"]]) for i, r in enumerate(seed_rows)
+    ]
+
+    for _ in range(n_iter):
+        cent_lit = F.array(*[
+            F.struct(
+                F.lit(cid).cast("int").alias("cid"),
+                F.lit(int(sum(c * c for c in cvec))).alias("cc"),
+                F.array(*[F.lit(c).cast("double") for c in cvec]).alias("cq"),
+            )
+            for cid, cvec in cents
+        ])
+        # named_struct, not struct(...alias...): aliases inside nested lambda
+        # functions get stripped during analysis, leaving colN field names
+        scored = F.transform(
+            cent_lit,
+            lambda e: F.named_struct(
+                F.lit("d2"),
+                e["cc"].cast("double")
+                - 2.0 * F.aggregate(
+                    F.zip_with(F.col("vq"), e["cq"], lambda a, b: a * b),
+                    F.lit(0.0), lambda acc, v: acc + v,
+                ),
+                F.lit("cid"),
+                e["cid"],
+            ),
+        )
+        best = F.array_sort(
+            scored,
+            lambda l, r: F.when(l["d2"] < r["d2"], -1)
+            .when(l["d2"] > r["d2"], 1)
+            .when(l["cid"] < r["cid"], -1)
+            .when(l["cid"] > r["cid"], 1)
+            .otherwise(0),
+        )
+        assigned = base.select(
+            F.get(best, 0)["cid"].alias("cid"),
+            F.posexplode("vq").alias("i", "val"),
+        )
+        sums = (
+            assigned.groupBy("cid", "i")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cid.setdefault(int(r["cid"]), {})[int(r["i"])] = (int(r["s"]), int(r["n"]))
+        cents = [
+            (
+                cid,
+                [
+                    math.floor(by_cid[cid][i][0] / by_cid[cid][i][1])
+                    for i in range(len(old))
+                ]
+                if cid in by_cid
+                else old,  # emptied cluster keeps its previous centroid
+            )
+            for cid, old in cents
+        ]
+
+    return [(cid, [c / float(_Q_SCALE) for c in cvec]) for cid, cvec in cents]

@@ -1685,31 +1685,82 @@ WHERE kind = 'media' OR text <> ''"""
 
 
 def q56_ivf_topk_spark(spark, sf_dir):
-    """IVF over the embeddings table: centroid table = the 8 lowest
-    vec_ids (stand-in for an offline k-means table, collected at
-    plan-build time as the operator documents), queries = vec_id < 10,
-    2 probes, top-3."""
-    from ..functions.similarity import ivf_topk
+    """IVF over the embeddings table with a TRAINED coarse quantizer:
+    centroids come from ``train_centroids`` (k=8, two Lloyd iterations,
+    integer-exact quantized space — see similarity.py), queries =
+    vec_id < 10, 2 probes, top-3.  The oracle replays the same two
+    iterations as unrolled CTEs, so centroid parity is part of the hash."""
+    from ..functions.similarity import ivf_topk, train_centroids
 
     load_views(spark, sf_dir)
     emb = spark.table("embeddings")
-    cents = sorted(
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.where(F.col("vec_id") < 8).collect()
-    )
+    cents = train_centroids(emb, k=8, n_iter=2)
     return ivf_topk(emb, emb.where(F.col("vec_id") < 10), cents, k=3, n_probe=2)
 
 
-Q56_ORACLE = """WITH _cent AS (
-  SELECT vec_id AS cid,
-         list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS cq
-  FROM embeddings WHERE vec_id < 8
-),
-_v AS (
+def _kmeans_ctes(k: int = 8, n_iter: int = 2) -> str:
+    """Unrolled Lloyd iterations mirroring ``train_centroids`` bit-exactly:
+    quantized integer grid, argmin(cc - 2*dot) assignment with low-cid tie
+    break, floor(sum/n) double-division update, emptied cluster keeps its
+    previous centroid.  Produces ``_cent(cid, cq)``."""
+    parts = [
+        """_v AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[], x -> floor(x * 1048576.0)) AS vq
   FROM embeddings
 ),
+_gs AS (
+  SELECT unnest(generate_series(1, (SELECT max(len(embedding)) FROM embeddings))) AS i
+),
+_c0 AS (
+  SELECT cast(row_number() OVER (ORDER BY vec_id) - 1 AS int) AS cid,
+         vq AS cq, list_dot_product(vq, vq) AS cc
+  FROM (SELECT vec_id, vq FROM _v ORDER BY vec_id LIMIT """ + str(k) + """)
+)"""
+    ]
+    for t in range(1, n_iter + 1):
+        p = t - 1
+        parts.append(f"""_r{t} AS (
+  SELECT v.vec_id, v.vq, c.cid,
+         row_number() OVER (PARTITION BY v.vec_id
+           ORDER BY (c.cc - 2 * list_dot_product(v.vq, c.cq)) ASC, c.cid ASC) AS rn
+  FROM _v v CROSS JOIN _c{p} c
+),
+_s{t} AS (
+  SELECT r.cid, gs.i, floor(sum(r.vq[gs.i]) / count(*)) AS m
+  FROM _r{t} r CROSS JOIN _gs gs
+  WHERE r.rn = 1 AND gs.i <= len(r.vq)
+  GROUP BY r.cid, gs.i
+),
+_m{t} AS (SELECT cid, list(m ORDER BY i) AS cq FROM _s{t} GROUP BY cid),
+_c{t} AS (
+  SELECT p.cid, coalesce(n.cq, p.cq) AS cq,
+         list_dot_product(coalesce(n.cq, p.cq), coalesce(n.cq, p.cq)) AS cc
+  FROM _c{p} p LEFT JOIN _m{t} n ON n.cid = p.cid
+)""")
+    parts.append(f"_cent AS (SELECT cid, cq FROM _c{n_iter})")
+    return ",\n".join(parts)
+
+
+def q58_kmeans_train_spark(spark, sf_dir):
+    """The trained centroid table itself as a driver query: (cid,
+    centroid) for k=8, two iterations — the hard signal that the Lloyd
+    trainer is engine-independent, not just that IVF consumed SOMETHING."""
+    from ..functions.similarity import train_centroids
+
+    load_views(spark, sf_dir)
+    cents = train_centroids(spark.table("embeddings"), k=8, n_iter=2)
+    return spark.createDataFrame(
+        [(cid, [float(x) for x in vec]) for cid, vec in cents],
+        "cid int, centroid array<double>",
+    )
+
+
+Q58_ORACLE = f"""WITH {_kmeans_ctes()}
+SELECT cid, list_transform(cq, x -> x / 1048576.0) AS centroid FROM _cent"""
+
+
+Q56_ORACLE = f"""WITH {_kmeans_ctes()},
 _rank AS (
   SELECT v.vec_id, c.cid,
          row_number() OVER (PARTITION BY v.vec_id
@@ -1818,6 +1869,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     reg["q33_estimation_bins"] = (q33_estimation_bins_spark, Q33_ORACLE)
     reg["q34_page_text_stats"] = (q34_page_stats_spark, _q34_oracle())
     reg["q57_checkpoint_resume"] = (q57_checkpoint_resume_spark, Q57_ORACLE)
+    reg["q58_kmeans_train"] = (q58_kmeans_train_spark, Q58_ORACLE)
     # Evaluation order: operator-critical queries first (numeric order), the
     # generic SQL-capability extras (q10-q16 TPC-H-ish, q31 rollup) LAST.
     # Round 3's correctness sweep recorded exactly the first 50 registry

@@ -418,3 +418,59 @@ def test_numpy_raw_decode_tier(spark):
     assert len(f) == 16
     assert f[0:4] == [0.0, 0.0, 1.0, 1.0]      # row 0: black black white white
     assert f[8:12] == [0.299, 0.299, 0.114, 0.114]  # row 2: red red blue blue
+
+
+def test_train_centroids_deterministic_and_exact(spark):
+    """Lloyd trainer: deterministic across invocations, k centroids on the
+    2^-20 grid, a pure-Python replay of the same recurrence agrees, and
+    the trained table feeds ivf_topk with full probe == brute force."""
+    import math
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = similarity.train_centroids(emb, k=4, n_iter=2)
+    b = similarity.train_centroids(emb, k=4, n_iter=2)
+    assert a == b
+    assert [cid for cid, _ in a] == [0, 1, 2, 3]
+    Q = 1 << 20
+    for _, vec in a:
+        for x in vec:
+            assert x * Q == math.floor(x * Q)  # integer-valued on the grid
+
+    # pure-Python replay of the documented recurrence
+    rows = sorted(
+        (int(r["vec_id"]), [math.floor(float(x) * Q) for x in r["embedding"]])
+        for r in emb.collect()
+    )
+    cents = [(i, rows[i][1]) for i in range(4)]
+    for _ in range(2):
+        groups: dict[int, list[list[int]]] = {}
+        for _vid, vq in rows:
+            best = min(
+                ((sum(c * c for c in cv) - 2 * sum(a_ * b_ for a_, b_ in zip(vq, cv)), cid)
+                 for cid, cv in cents),
+            )[1]
+            groups.setdefault(best, []).append(vq)
+        cents = [
+            (cid, [math.floor(sum(col) / len(g)) for col in zip(*g)])
+            if (g := groups.get(cid)) else (cid, old)
+            for cid, old in cents
+        ]
+    want = [(cid, [c / Q for c in cv]) for cid, cv in cents]
+    assert a == want
+
+    # trained centroids drive IVF; full probe tops out at exact brute force
+    queries = emb.where("vec_id < 5")
+    exact = sorted(map(tuple, similarity.cosine_topk(emb, queries, k=2).collect()))
+    full = sorted(map(tuple, similarity.ivf_topk(
+        emb, queries, a, k=2, n_probe=len(a)).collect()))
+    assert full == exact
+
+
+def test_train_centroids_guards(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least k"):
+        similarity.train_centroids(emb.where("vec_id < 2"), k=4)
+    with _pytest.raises(ValueError, match="k >= 1"):
+        similarity.train_centroids(emb, k=0)
