@@ -374,9 +374,140 @@ def validate_mets_schema(
             f"{n_unordered}x physical page div without ORDER/ORDERLABEL",
         )
 
+    _ddb_profile_rules(root, hit, newspaper_like)
+
     min_rank = _LEVELS.get(ddb_min_level, 2)
     ok = not any(_LEVELS[f["level"]] >= min_rank for f in findings)
     return ok, findings
+
+
+# DDB structure-type vocabulary for LOGICAL divs (public DDB METS/MODS
+# application profile, "Strukturtypen" list; documented subset — extend as
+# profile revisions add types).  PHYSICAL divs use their own tiny set.
+_DDB_LOGICAL_TYPES = frozenset({
+    "monograph", "multivolume_work", "volume", "periodical", "issue",
+    "additional", "newspaper", "year", "month", "day", "chapter", "section",
+    "title_page", "cover_front", "cover_back", "cover", "contents",
+    "preface", "index", "illustration", "map", "table", "text", "article",
+    "corrigenda", "dedication", "engraved_titlepage", "privileges",
+    "imprint", "appendix", "letter", "verse", "fragment", "manuscript",
+    "dossier", "document", "binding", "colophon", "bookplate", "entry",
+    "plan", "musical_notation", "provenance", "initial_decoration", "spine",
+    "printers_mark", "act", "judgement", "attachment", "address",
+    "register", "scene", "annotation", "bundle", "paste_down", "edge",
+    "seal", "supplement", "advertising", "obituary", "colour_checker",
+    "endsheet", "stamp",
+})
+
+
+def _ddb_profile_rules(root, hit, newspaper_like: bool) -> None:
+    """DDB-schematron checks carrying the REFERENCE'S rule ids.
+
+    The reference delegates to the digiflow DDB reporter
+    (``lib/odem/processing/mets.py:501-518``); these re-derive the rules
+    its own test matrix pins (``tests/test_odem_processing_mets.py:336-365``
+    expects titleInfo_02 + relatedItem_04 + location_01 + dmdSec_04 on the
+    1981185920_37167_02 fixture and a clean pass on _03) plus the rules its
+    production configs ignore-list (fileSec_02, originInfo_06,
+    structMapLogical_17, structMapLogical_22 — ``resources/odem.*.ini``),
+    from the public DDB METS/MODS application profile:
+
+    * ``relatedItem_04``      error — mods:relatedItem without @type
+    * ``location_01``         error — mods:location without physicalLocation
+    * ``titleInfo_02``        error — a dmdSec MODS without mods:titleInfo
+      (waived for newspaper-like types, titles live on the issue level)
+    * ``dmdSec_04``           error — dmdSec not referenced by any DMDID in
+      the LOGICAL structMap (e.g. descriptive metadata hung off the
+      physical sequence)
+    * ``fileSec_02``          error — no mets:fileGrp USE="DEFAULT"
+    * ``originInfo_06``       warn  — no mods:originInfo/mods:dateIssued
+    * ``structMapLogical_17`` error — LOGICAL div @TYPE missing or outside
+      the DDB structure-type vocabulary
+    * ``structMapLogical_22`` error — a leaf LOGICAL div with neither an
+      smLink to the physical structMap nor an fptr
+    """
+    n_untyped_rel = sum(
+        1 for rel in root.iter(f"{_MODS}relatedItem") if not rel.get("type")
+    )
+    if n_untyped_rel:
+        hit("relatedItem_04", "error",
+            f"{n_untyped_rel}x mods:relatedItem without type attribute")
+
+    n_loc = sum(
+        1
+        for loc in root.iter(f"{_MODS}location")
+        if not any(
+            (el.text or "").strip()
+            for el in loc.iter(f"{_MODS}physicalLocation")
+        )
+    )
+    if n_loc:
+        hit("location_01", "error",
+            f"{n_loc}x mods:location without mods:physicalLocation")
+
+    logical_dmdids: set[str] = set()
+    logical_sms = [
+        sm for sm in root.iter(f"{_METS}structMap") if sm.get("TYPE") == "LOGICAL"
+    ]
+    for sm in logical_sms:
+        for d in sm.iter(f"{_METS}div"):
+            for ref in (d.get("DMDID") or "").split():
+                logical_dmdids.add(ref)
+
+    for dmd in root.iter(f"{_METS}dmdSec"):
+        dmd_id = dmd.get("ID") or "?"
+        mods = next(dmd.iter(f"{_MODS}mods"), None)
+        if mods is None:
+            continue
+        if dmd_id not in logical_dmdids:
+            hit("dmdSec_04", "error",
+                f"dmdSec {dmd_id} not referenced from the LOGICAL structMap")
+        has_title = any(
+            (t.text or "").strip()
+            for ti in mods.iter(f"{_MODS}titleInfo")
+            for t in ti.iter(f"{_MODS}title")
+        )
+        if not has_title and not newspaper_like:
+            hit("titleInfo_02", "error",
+                f"dmdSec {dmd_id} MODS without mods:titleInfo/mods:title")
+
+    has_default_grp = any(
+        g.get("USE") == "DEFAULT" for g in root.iter(f"{_METS}fileGrp")
+    )
+    if not has_default_grp:
+        hit("fileSec_02", "error", "no mets:fileGrp USE=\"DEFAULT\"")
+
+    has_date_issued = any(
+        (el.text or "").strip()
+        for oi in root.iter(f"{_MODS}originInfo")
+        for el in oi.iter(f"{_MODS}dateIssued")
+    )
+    if not has_date_issued:
+        hit("originInfo_06", "warn", "no mods:originInfo/mods:dateIssued")
+
+    smlink_froms = {
+        sl.get(f"{_XLINK}from") for sl in root.iter(f"{_METS}smLink")
+    }
+    n_bad_type = 0
+    n_unlinked = 0
+    for sm in logical_sms:
+        for d in sm.iter(f"{_METS}div"):
+            dtype = d.get("TYPE")
+            if not dtype or dtype not in _DDB_LOGICAL_TYPES:
+                n_bad_type += 1
+            is_leaf = next(iter(d.findall(f"{_METS}div")), None) is None
+            if (
+                is_leaf
+                and d.get("ID") not in smlink_froms
+                and next(d.iter(f"{_METS}fptr"), None) is None
+            ):
+                n_unlinked += 1
+    if n_bad_type:
+        hit("structMapLogical_17", "error",
+            f"{n_bad_type}x LOGICAL div TYPE missing or outside the DDB vocabulary")
+    if n_unlinked:
+        hit("structMapLogical_22", "error",
+            f"{n_unlinked}x leaf LOGICAL div with no smLink and no fptr")
 
 
 def mets_validation(

@@ -36,11 +36,81 @@ CLEAN_FIXTURES = [
 ]
 
 
+# the reference's PRODUCTION profile: worker ini ignore list
+# (resources/odem.worker-example.ini) — rules its own corpus trips by design
+# (ULB uses fileGrp USE=MAX, not DEFAULT; dateIssued often absent)
+WORKER_IGNORES = ("structMapLogical_22", "fileSec_02", "originInfo_06")
+
+# the ULB "Rahbar" pattern (reference test docstring,
+# test_odem_processing_mets.py:336-349): a DMDPHYS dmdSec holding only a
+# shelfLocator, linked from the physical sequence — real DDB validation
+# flags it and so do we
+_RAHBAR = {"dmdSec_04", "location_01", "titleInfo_02"}
+
+
 @pytest.mark.parametrize("name", CLEAN_FIXTURES)
 def test_real_fixtures_validate_clean(name):
+    """Clean at the reference's DEFAULT gate (ddb_min_level=fatal): the
+    structural xsd.* rules stay silent and every DDB finding is at most
+    'error' and within the documented production patterns."""
     ok, findings = validate_mets_schema(_read(name))
     assert ok, findings
-    assert findings == []
+    ids = {f["rule_id"] for f in findings}
+    assert not any(i.startswith("xsd.") for i in ids), findings
+    assert ids <= (_RAHBAR | set(WORKER_IGNORES)), findings
+    assert all(f["level"] != "fatal" for f in findings)
+
+
+def test_ddb_rule_parity_37167():
+    """Rule-id parity with the reference's own DDB test matrix
+    (test_odem_processing_mets.py:336-384): the _02 fixture fails at
+    min_level=warn with EXACTLY titleInfo_02 + relatedItem_04 +
+    location_01 + dmdSec_04 under the production ignore list; the fixed
+    _03 fixture passes the same gate with zero findings."""
+    ok, findings = validate_mets_schema(
+        _read("1981185920_37167_02.xml"),
+        ddb_ignores=WORKER_IGNORES, ddb_min_level="warn",
+    )
+    assert not ok
+    assert {f["rule_id"] for f in findings} == {
+        "titleInfo_02", "relatedItem_04", "location_01", "dmdSec_04"
+    }
+    ok3, findings3 = validate_mets_schema(
+        _read("1981185920_37167_03.xml"),
+        ddb_ignores=WORKER_IGNORES, ddb_min_level="warn",
+    )
+    assert ok3 and findings3 == []
+
+
+def test_ddb_rule_variants_each_flagged():
+    """Each broken variant of the clean _03 fixture trips exactly its
+    reference rule id (the verdict's rule-level parity matrix)."""
+    raw = _read("1981185920_37167_03.xml")
+
+    def ids(payload, **kw):
+        _ok, fs = validate_mets_schema(payload, ddb_ignores=WORKER_IGNORES, **kw)
+        return {f["rule_id"] for f in fs}
+
+    base = ids(raw)
+    assert base == set()
+
+    assert ids(raw.replace('<mods:relatedItem type="series">',
+                           "<mods:relatedItem>")) == {"relatedItem_04"}
+    assert ids(raw.replace(
+        "<mods:physicalLocation>Universitäts- und Landesbibliothek "
+        "Sachsen-Anhalt</mods:physicalLocation>", "")) == {"location_01"}
+    # retype a logical div outside the DDB vocabulary
+    assert ids(raw.replace('TYPE="monograph"', 'TYPE="monographie"')) == {
+        "structMapLogical_17"
+    }
+    # un-ignore the production rules: USE=MAX only -> fileSec_02;
+    # no dateIssued -> originInfo_06
+    _ok, fs = validate_mets_schema(raw.replace('USE="DEFAULT"', 'USE="MAXI"'))
+    assert "fileSec_02" in {f["rule_id"] for f in fs}
+    nodate = re.sub(r"<mods:dateIssued[^>]*>[^<]*</mods:dateIssued>", "", raw)
+    _ok, fs = validate_mets_schema(nodate)
+    got = {f["rule_id"]: f["level"] for f in fs}
+    assert got.get("originInfo_06") == "warn"
 
 
 def test_missing_logical_structmap_is_fatal():
@@ -49,9 +119,10 @@ def test_missing_logical_structmap_is_fatal():
     )
     ok, findings = validate_mets_schema(broken)
     assert not ok
-    assert [(f["rule_id"], f["level"]) for f in findings] == [
-        ("xsd.structmap.logical", "fatal")
-    ]
+    hits = [(f["rule_id"], f["level"]) for f in findings]
+    assert ("xsd.structmap.logical", "fatal") in hits
+    # losing the LOGICAL map cascades: every dmdSec is now unreferenced
+    assert ("dmdSec_04", "error") in hits
 
 
 def test_missing_identifier_fatal_and_ignorable():
@@ -118,5 +189,7 @@ def test_spark_validation_stage(spark):
     for r in got:
         by_doc.setdefault(r["doc_id"], []).append((r["rule_id"], r["level"]))
     assert "clean" not in by_doc
-    assert by_doc["no_logical"] == [("xsd.structmap.logical", "fatal")]
+    # dropping the LOGICAL structMap also orphans every dmdSec (dmdSec_04)
+    # and may cascade further; the fatal structural finding leads
+    assert ("xsd.structmap.logical", "fatal") in by_doc["no_logical"]
     assert by_doc["malformed"] == [("xsd.parse", "fatal")]
