@@ -87,14 +87,21 @@ except ImportError:  # pragma: no cover - depends on environment
 
 
 def _decode_raw_gray(payload: bytes):
-    """Pure-numpy decode of UNCOMPRESSED raster formats -> 2D float gray.
+    """Pure-numpy decode of codec-less raster formats -> 2D float gray.
 
-    Supports binary PPM (P6, maxval 255) and 24-bit uncompressed BMP —
-    the formats that need no codec library, so real pixel decode works
-    even in containers without PIL.  Raises ValueError on malformed
-    input, NotImplementedError on formats that need a codec.
+    Supports binary PPM (P6, maxval 255), 24-bit uncompressed BMP, and
+    baseline JPEG (SOF0 — the dominant scan format; see
+    ``functions/jpegdec.py``), so real pixel decode works even in
+    containers without PIL.  Raises ValueError on malformed input,
+    NotImplementedError on formats that still need a codec (PNG,
+    progressive JPEG, TIFF-compressed).
     """
     import numpy as np
+
+    if payload[:2] == b"\xff\xd8":
+        from .jpegdec import decode_jpeg_gray
+
+        return decode_jpeg_gray(payload)
 
     luma = (0.299, 0.587, 0.114)
     if payload[:2] == b"P6":

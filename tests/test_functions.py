@@ -408,7 +408,8 @@ def test_numpy_raw_decode_tier(spark):
     assert [round(v, 3) for v in got["ppm"]["feat"]] == [0.0, 1.0, 0.299, 0.114]
     assert got["bmp"]["decode_error"] is None
     assert [round(v * 255, 1) for v in got["bmp"]["feat"]] == [10.0, 20.0, 30.0, 40.0]
-    assert "codec library" in got["jpg"]["decode_error"]
+    # truncated JPEG: error ROW (from the baseline decoder), never a crash
+    assert got["jpg"]["decode_error"]
 
     # resize dial: a 4x4 grid over the 4x4 PPM is the identity downsample —
     # each output cell is one source pixel's luma
@@ -474,3 +475,39 @@ def test_train_centroids_guards(spark):
         similarity.train_centroids(emb.where("vec_id < 2"), k=4)
     with _pytest.raises(ValueError, match="k >= 1"):
         similarity.train_centroids(emb, k=0)
+
+
+def test_jpeg_decode_tier(spark):
+    """A real baseline JPEG decodes through the Arrow feature stage with NO
+    codec library: exact-value features from a known synthetic image, and a
+    PROGRESSIVE payload stays on the error channel."""
+    if multimodal.HAS_PIL:
+        import pytest
+
+        pytest.skip("PIL present; numpy jpeg tier shadowed")
+    import numpy as np
+
+    from tests.test_jpeg_decode import encode_jpeg
+
+    # 16x16 grayscale, solid 8x8 quadrants 40/80/120/200
+    img = np.zeros((16, 16))
+    img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = 40.0, 80.0, 120.0, 200.0
+    payload = encode_jpeg(img)
+
+    # progressive stand-in: flip the SOF marker
+    prog = bytearray(payload)
+    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+
+    meta = {"width": 16, "height": 16, "dpi": None,
+            "n_bytes": len(payload), "duration_ms": None}
+    rows = [
+        ("base", "d1", "r1", "image/jpeg", bytearray(payload), meta),
+        ("prog", "d1", "r2", "image/jpeg", bytearray(bytes(prog)), meta),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in
+           multimodal.extract_image_features(media).collect()}
+    assert got["base"]["decode_error"] is None
+    feats = [round(v * 255, 0) for v in got["base"]["feat"]]
+    assert feats == [40.0, 80.0, 120.0, 200.0]
+    assert "codec library" in got["prog"]["decode_error"]
