@@ -61,7 +61,66 @@ def run_leg(cores: int, replicate: int = 96) -> dict:
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
+# Consensus bands from the accumulated record (BENCH/probe_pairs.jsonl):
+# clean n8 legs read 7-12.5k docs/s, clean n32 legs 25-42k.  Each band
+# catches a measured failure mode that steal/load alone misses:
+#  (a) n32-leg steal        -> depressed n32 (observed >= 9% on every <0.65
+#                              high-steal pair)
+#  (b) n8-leg steal         -> inflated/nonsense pairs (one read eff 1.27)
+#  (c) n8 above band        -> single-VM DRAM floor: the n8 leg got the whole
+#                              memory bandwidth (bw_probe.py: parallel memcpy
+#                              itself scales 0.55), so eff understates
+#  (d) n32 below band       -> neighbor DRAM bursts invisible to steal AND
+#                              load — identifiable only by the depressed
+#                              absolute vs the consensus band
+N8_BAND = (7000.0, 12100.0)
+N32_BAND = (25000.0, 42000.0)
+STEAL_N8_MAX = 5.0
+STEAL_N32_MAX = 9.0
+NO_STEAL_LOAD_GATE = 1.0  # pre-steal-column records: idle-start or reject
+
+
+def verdict(rec: dict) -> tuple[bool, list[str]]:
+    """Auto-accept check for one pair; reasons name the failure mode."""
+    reasons = []
+    n8, n32 = rec["n8"], rec["n32"]
+    s8 = rec.get("steal_pct_n8_leg")
+    s32 = rec.get("steal_pct_n32_leg")
+    if s32 is not None and s32 >= STEAL_N32_MAX:
+        reasons.append(f"n32_steal>={STEAL_N32_MAX}")
+    if s8 is not None and s8 >= STEAL_N8_MAX:
+        reasons.append(f"n8_steal>={STEAL_N8_MAX}")
+    if s32 is None and rec.get("load_before", 9.9) > NO_STEAL_LOAD_GATE:
+        reasons.append("no_steal_data_and_not_idle_start")
+    if n8 > N8_BAND[1]:
+        reasons.append("n8_above_band_bandwidth_floor")
+    if n8 < N8_BAND[0]:
+        reasons.append("n8_below_band")
+    if n32 < N32_BAND[0]:
+        reasons.append("n32_depressed_vs_consensus")
+    if n32 > N32_BAND[1]:
+        reasons.append("n32_above_band")
+    if rec["eff_8_32"] > 1.05:
+        reasons.append("eff_nonphysical")
+    return (not reasons), reasons
+
+
+def reannotate() -> None:
+    """Rewrite the log with accept verdicts (idempotent)."""
+    recs = [json.loads(l) for l in open(LOG)]
+    with open(LOG, "w") as fh:
+        for rec in recs:
+            rec["accept"], rec["reject_reasons"] = verdict(rec)
+            fh.write(json.dumps(rec) + "\n")
+    ok = [r for r in recs if r["accept"]]
+    print(f"{len(ok)}/{len(recs)} accepted; effs:",
+          sorted(r["eff_8_32"] for r in ok))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--reannotate":
+        reannotate()
+        return
     max_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     max_minutes = float(sys.argv[2]) if len(sys.argv) > 2 else 45
     gate = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
@@ -95,6 +154,7 @@ def main() -> None:
             "steal_pct_n32_leg": steal_pct(c_mid, c1, t1 - t_mid),
             "elapsed_s": round(time.time() - t0, 1),
         }
+        rec["accept"], rec["reject_reasons"] = verdict(rec)
         with open(LOG, "a") as fh:
             fh.write(json.dumps(rec) + "\n")
         print(json.dumps(rec), flush=True)
