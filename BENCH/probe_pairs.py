@@ -10,9 +10,14 @@ surrounding load stayed low) next to the all-window median.
 
 Usage::
 
-    python BENCH/probe_pairs.py [max_pairs] [max_minutes] [load_gate]
+    python BENCH/probe_pairs.py [max_pairs] [max_minutes] [load_gate] [lo] [hi]
+    python BENCH/probe_pairs.py --reannotate
 
-Writes JSONL to BENCH/probe_pairs.jsonl (appends).
+``lo``/``hi`` default to 8/32.  A TRULY idle host depresses the 8->32
+ratio through the single-VM DRAM floor (the n8 leg gets the whole
+40 GB/s — see BASELINE.md mode (c)); on such hosts a (2, 8) pair is the
+cleaner N->4N observation because BOTH legs sit below the bandwidth
+ceiling.  Writes JSONL to BENCH/probe_pairs.jsonl (appends).
 """
 
 from __future__ import annotations
@@ -81,8 +86,20 @@ NO_STEAL_LOAD_GATE = 1.0  # pre-steal-column records: idle-start or reject
 
 
 def verdict(rec: dict) -> tuple[bool, list[str]]:
-    """Auto-accept check for one pair; reasons name the failure mode."""
+    """Auto-accept check for one pair; reasons name the failure mode.
+    Consensus bands apply to the default (8, 32) levels only — other level
+    pairs are judged on steal/load alone."""
     reasons = []
+    if rec.get("levels", [8, 32]) != [8, 32]:
+        s_lo = rec.get("steal_pct_n8_leg")
+        s_hi = rec.get("steal_pct_n32_leg")
+        if s_hi is not None and s_hi >= STEAL_N32_MAX:
+            reasons.append(f"hi_steal>={STEAL_N32_MAX}")
+        if s_lo is not None and s_lo >= STEAL_N8_MAX:
+            reasons.append(f"lo_steal>={STEAL_N8_MAX}")
+        if rec["eff_8_32"] > 1.05:
+            reasons.append("eff_nonphysical")
+        return (not reasons), reasons
     n8, n32 = rec["n8"], rec["n32"]
     s8 = rec.get("steal_pct_n8_leg")
     s32 = rec.get("steal_pct_n32_leg")
@@ -124,6 +141,8 @@ def main() -> None:
     max_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     max_minutes = float(sys.argv[2]) if len(sys.argv) > 2 else 45
     gate = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    lo = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+    hi = int(sys.argv[5]) if len(sys.argv) > 5 else 32
     deadline = time.time() + max_minutes * 60
     done = 0
     while done < max_pairs and time.time() < deadline:
@@ -133,17 +152,18 @@ def main() -> None:
             continue
         t0 = time.time()
         c0 = cpu_ticks()
-        r8 = run_leg(8)
+        r8 = run_leg(lo)
         t_mid = time.time()
         c_mid = cpu_ticks()
         l_mid = load1()
-        r32 = run_leg(32)
+        r32 = run_leg(hi)
         t1 = time.time()
         c1 = cpu_ticks()
         l1 = load1()
-        eff = round(r32["docs_per_sec"] / (4 * r8["docs_per_sec"]), 3)
+        eff = round(r32["docs_per_sec"] / ((hi / lo) * r8["docs_per_sec"]), 3)
         rec = {
             "ts": round(t0, 1),
+            "levels": [lo, hi],
             "n8": r8["docs_per_sec"],
             "n32": r32["docs_per_sec"],
             "eff_8_32": eff,
