@@ -99,6 +99,15 @@ def verdict(rec: dict) -> tuple[bool, list[str]]:
             reasons.append(f"lo_steal>={STEAL_N8_MAX}")
         if rec["eff_8_32"] > 1.05:
             reasons.append("eff_nonphysical")
+        if rec.get("levels") == [2, 8]:
+            # provisional (2,8) consensus bands (few observations so far):
+            # idle-host n2 reads ~3.7-4.2k, n8 ~14.4k; a zero-steal hi leg
+            # at 8k is the same mode-(d) neighbor-DRAM signature seen at
+            # (8,32) — identifiable only from the depressed absolute
+            if not (3000.0 <= rec["n8"] <= 4600.0):
+                reasons.append("n2_outside_band_provisional")
+            if rec["n32"] < 12000.0:
+                reasons.append("n8_depressed_vs_consensus_provisional")
         return (not reasons), reasons
     n8, n32 = rec["n8"], rec["n32"]
     s8 = rec.get("steal_pct_n8_leg")

@@ -770,6 +770,32 @@ def q57_checkpoint_resume_spark(spark, sf_dir):
 Q57_ORACLE = Q03_ORACLE
 
 
+def q59_export_manifest_spark(spark, sf_dir):
+    """S8 hard signal: the per-document SAF export manifest.  Packaging
+    runs as the Arrow-batched export stage (``sources/export.py``); the
+    driver compares the manifest columns (name mapping, entry count,
+    bundle size) — the zip payload itself is covered by unzip round-trip
+    pytest (binary bytes are not SQL-comparable)."""
+    from ..sources.export import export_documents
+
+    out = pipeline.extract(docs_nested_df(spark, sf_dir))
+    exported = export_documents(
+        out, fmt="saf", prefix="odem_", collection="123456789/11"
+    )
+    return exported.select("doc_id", "saf_name", "n_entries", "bundle_chars")
+
+
+Q59_ORACLE = f"""WITH {_extract_oracle_ctes()}
+SELECT doc_id,
+       'odem_' || doc_id AS saf_name,
+       4 AS n_entries,
+       cast(length(coalesce(string_agg(
+           CASE WHEN kind='text' THEN text END, chr(10) ORDER BY offset), ''))
+         AS bigint) AS bundle_chars
+FROM extracted
+GROUP BY doc_id"""
+
+
 def q29_simhash_spark(spark, sf_dir):
     """SimHash near-dup pairs, portable md5-60bit hash tier.
 
@@ -1870,6 +1896,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     reg["q34_page_text_stats"] = (q34_page_stats_spark, _q34_oracle())
     reg["q57_checkpoint_resume"] = (q57_checkpoint_resume_spark, Q57_ORACLE)
     reg["q58_kmeans_train"] = (q58_kmeans_train_spark, Q58_ORACLE)
+    reg["q59_export_manifest"] = (q59_export_manifest_spark, Q59_ORACLE)
     # Evaluation order: operator-critical queries first (numeric order), the
     # generic SQL-capability extras (q10-q16 TPC-H-ish, q31 rollup) LAST.
     # Round 3's correctness sweep recorded exactly the first 50 registry
