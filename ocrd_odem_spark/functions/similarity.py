@@ -455,45 +455,46 @@ def train_centroids(
         (i, [int(x) for x in r["vq"]]) for i, r in enumerate(seed_rows)
     ]
 
+    import numpy as np
+
     for _ in range(n_iter):
-        cent_lit = F.array(*[
-            F.struct(
-                F.lit(cid).cast("int").alias("cid"),
-                F.lit(int(sum(c * c for c in cvec))).alias("cc"),
-                F.array(*[F.lit(c).cast("double") for c in cvec]).alias("cq"),
-            )
-            for cid, cvec in cents
-        ])
-        # named_struct, not struct(...alias...): aliases inside nested lambda
-        # functions get stripped during analysis, leaving colN field names
-        scored = F.transform(
-            cent_lit,
-            lambda e: F.named_struct(
-                F.lit("d2"),
-                e["cc"].cast("double")
-                - 2.0 * F.aggregate(
-                    F.zip_with(F.col("vq"), e["cq"], lambda a, b: a * b),
-                    F.lit(0.0), lambda acc, v: acc + v,
-                ),
-                F.lit("cid"),
-                e["cid"],
-            ),
-        )
-        best = F.array_sort(
-            scored,
-            lambda l, r: F.when(l["d2"] < r["d2"], -1)
-            .when(l["d2"] > r["d2"], 1)
-            .when(l["cid"] < r["cid"], -1)
-            .when(l["cid"] > r["cid"], 1)
-            .otherwise(0),
-        )
-        assigned = base.select(
-            F.get(best, 0)["cid"].alias("cid"),
-            F.posexplode("vq").alias("i", "val"),
-        )
+        # Assignment + per-cluster partial sums as ONE vectorized Arrow
+        # stage: int64 matmul against the (k, d) centroid matrix — exact
+        # (components <= 2^20, dots <= 2^46), argmin ties break to the
+        # lowest cid because C is ordered by cid and np.argmin returns the
+        # first minimum.  (A first cut embedded the centroids as 8x64
+        # literal trees in an interpreted HOF assignment — 20s/iteration
+        # of pure expression evaluation at metadata scale; the serving
+        # path in ``ranked_centroids`` keeps the literal form because the
+        # CORPUS assignment must stay a shuffle-free projection.)
+        C = np.array([cvec for _cid, cvec in cents], dtype=np.int64)
+        cc = (C * C).sum(axis=1)
+        k_now, dim = C.shape
+
+        def partials(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["vq"]])
+                d2 = cc[None, :] - 2 * (V @ C.T)
+                cid = np.argmin(d2, axis=1)
+                out = []
+                for c in range(k_now):
+                    mask = cid == c
+                    n = int(mask.sum())
+                    if not n:
+                        continue
+                    s = V[mask].sum(axis=0)
+                    out.extend((c, i, int(s[i]), n) for i in range(dim))
+                yield pd.DataFrame(out, columns=["cid", "i", "s", "n"])
+
         sums = (
-            assigned.groupBy("cid", "i")
-            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            base.select("vq")
+            .mapInPandas(partials, schema="cid int, i int, s long, n long")
+            .groupBy("cid", "i")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()
         )
         by_cid: dict[int, dict[int, tuple[int, int]]] = {}
