@@ -91,3 +91,13 @@ def test_materialize_zips(spark, docs_df, tmp_path):
 def test_unknown_format_rejected(spark, docs_df):
     with pytest.raises(ValueError, match="unknown export format"):
         export_documents(pipeline.extract(docs_df.limit(1)), fmt="tar")
+
+
+def test_export_plan_single_exchange(spark, docs_df):
+    """Packaging adds NO shuffle beyond the extraction's own per-doc
+    regroup — scale-critical: 10^12 zips must not re-exchange."""
+    out = export_documents(pipeline.extract(docs_df), fmt="saf")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") <= 1, final
+    assert "MapInPandas" in final
