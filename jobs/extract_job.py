@@ -6,7 +6,13 @@
         --state  <watermark state table path> \
         [--page-meta <page dimension>] [--doc-meta <doc dimension>] \
         [--dehyphenate] [--mode hof|arrow] [--buckets 512] \
-        [--range-partitions 0]
+        [--range-partitions 0] \
+        [--export-dir <share> --export-format flat|saf \
+         --export-prefix <p> --export-collection <handle>]
+
+With ``--export-dir`` the published output is additionally packaged as
+per-document zips (S8: flat or DSpace-SAF bundles, ``sources/export.py``)
+and materialized to the export share after the checkpointed run completes.
 
 Runs the narrow extraction plan with the exact-resume bucket protocol:
 re-running after any crash completes only unpublished buckets; re-running a
@@ -34,6 +40,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--mode", default="hof", choices=["hof", "arrow"])
     ap.add_argument("--buckets", type=int, default=512)
     ap.add_argument("--range-partitions", type=int, default=0)
+    ap.add_argument("--export-dir")
+    ap.add_argument("--export-format", default="flat", choices=["flat", "saf"])
+    ap.add_argument("--export-prefix")
+    ap.add_argument("--export-collection")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -63,6 +73,19 @@ def main(argv: list[str] | None = None) -> int:
     report = state.run_with_checkpoint(
         spark, docs, transform, args.output, args.state, n_buckets=args.buckets
     )
+    if args.export_dir:
+        from ocrd_odem_spark.sources.export import (
+            export_documents,
+            materialize_zips,
+        )
+
+        table = export_documents(
+            state.read_output(spark, args.output),
+            fmt=args.export_format,
+            prefix=args.export_prefix,
+            collection=args.export_collection,
+        )
+        report["exported"] = materialize_zips(table, args.export_dir)
     print(json.dumps(report))
     spark.stop()
     return 0
