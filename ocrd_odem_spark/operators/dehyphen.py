@@ -111,28 +111,86 @@ def _let(value: Column, body) -> Column:
     return F.get(F.transform(F.array(value), body), 0)
 
 
+_MARKS_CHUNK = 512
+
+
+def _chunked_marks_fold(pairs: Column, step) -> Column:
+    """Linear-byte pass 1 over any marks-fold ``step``.
+
+    The plain fold's string accumulator copies ~n²/2 bytes.  Since the
+    carried state is ONE BIT (``took``), each ``_MARKS_CHUNK``-pair window
+    can be folded for BOTH possible entry states independently (byte cost
+    per chunk is bounded by the chunk size), and a chunk-level fold then
+    selects the right variant per window from the carried exit state —
+    appending one STRING POINTER per chunk, not one char per pair.  Total
+    byte traffic is O(n · chunk) for the speculative folds plus
+    O((n/chunk)²) pointers for the selection, i.e. linear in n for any
+    realistic document.  ``step`` must take/return the
+    ``struct<marks,took,n_merges>`` accumulator (built with named_struct —
+    plain aliases are stripped inside nested lambdas).
+    """
+    n = F.size(pairs)
+    n_chunks = F.ceil(n / F.lit(float(_MARKS_CHUNK))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda c: F.slice(pairs, c * _MARKS_CHUNK + 1, _MARKS_CHUNK),
+    )
+
+    def fold_from(ch: Column, entry: Column) -> Column:
+        init = F.named_struct(
+            F.lit("marks"), F.lit(""),
+            F.lit("took"), entry,
+            F.lit("n_merges"), F.lit(0),
+        )
+        return F.aggregate(ch, init, step)
+
+    per_chunk = F.transform(
+        chunks,
+        lambda ch: F.named_struct(
+            F.lit("f"), fold_from(ch, F.lit(False)),
+            F.lit("t"), fold_from(ch, F.lit(True)),
+        ),
+    )
+    init2 = F.named_struct(
+        F.lit("sel"), F.array().cast("array<string>"),
+        F.lit("took"), F.lit(False),
+        F.lit("n_merges"), F.lit(0),
+    )
+
+    def step2(acc: Column, pc: Column) -> Column:
+        v = F.when(acc["took"], pc["t"]).otherwise(pc["f"])
+        return F.named_struct(
+            F.lit("sel"), F.concat(acc["sel"], F.array(v["marks"])),
+            F.lit("took"), v["took"],
+            F.lit("n_merges"), acc["n_merges"] + v["n_merges"],
+        )
+
+    return F.aggregate(
+        per_chunk, init2, step2,
+        lambda acc: F.named_struct(
+            F.lit("marks"), F.array_join(acc["sel"], ""),
+            F.lit("n_merges"), acc["n_merges"],
+        ),
+    )
+
+
 def _dehyphenate_marks(spans: Column) -> Column:
     """Exact chain-correct tier with LINEAR array work.
 
     The O(n²) in the fold is the immutable output-array copy per step, not
     the state recurrence.  Pass 1 folds only O(1) state plus one decision
-    CHARACTER per line ('m' merged / 'd' dropped / 'k' kept) into a string
-    accumulator (byte-level copies — ~n²/2 bytes, memcpy-cheap); pass 2 is
-    a pure ``transform`` that rebuilds each span from its mark and its
-    predecessor's mark.  A chain-y 45k-span book runs in seconds instead of
-    minutes, byte-equal to the fold and the Python oracle (tested).
+    CHARACTER per line ('m' merged / 'd' dropped / 'k' kept), chunk-
+    speculatively so even the marks-string bytes stay linear (see
+    ``_chunked_marks_fold``); pass 2 is a pure ``transform`` that rebuilds
+    each span from its mark and its predecessor's mark.  A chain-y
+    45k-span book runs in seconds instead of minutes, byte-equal to the
+    fold and the Python oracle (tested).
 
     The pairs array and the pass-1 fold are each evaluated exactly ONCE via
     ``_let`` — naive multi-reference cost 4-5 fold evaluations per row and
     ran 4.5x slower than the fold on ordinary documents."""
 
     def with_pairs(pairs: Column) -> Column:
-        init = F.struct(
-            F.lit("").alias("marks"),
-            F.lit(False).alias("took"),
-            F.lit(0).alias("n_merges"),
-        )
-
         def step(acc: Column, p: Column) -> Column:
             cur, nxt = p["cur"], p["nxt"]
             eff = F.when(acc["took"], cur["rest"]).otherwise(cur["text"])
@@ -142,18 +200,13 @@ def _dehyphenate_marks(spans: Column) -> Column:
                 .when(scope, F.lit("m"))
                 .otherwise(F.lit("k"))
             )
-            return F.struct(
-                F.concat(acc["marks"], mark).alias("marks"),
-                (mark == "m").alias("took"),
-                (acc["n_merges"] + (mark == "m").cast("int")).alias("n_merges"),
+            return F.named_struct(
+                F.lit("marks"), F.concat(acc["marks"], mark),
+                F.lit("took"), mark == "m",
+                F.lit("n_merges"), acc["n_merges"] + (mark == "m").cast("int"),
             )
 
-        fold = F.aggregate(
-            pairs, init, step,
-            lambda acc: F.struct(
-                acc["marks"].alias("marks"), acc["n_merges"].alias("n_merges")
-            ),
-        )
+        fold = _chunked_marks_fold(pairs, step)
 
         def with_fold(fs: Column) -> Column:
             marks_arr = F.slice(F.split(fs["marks"], ""), 1, F.size(pairs))

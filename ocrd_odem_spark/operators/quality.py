@@ -130,13 +130,9 @@ def _line_marks(lines: Column) -> Column:
     ``_let`` rationale), specialised to bare line strings.
     """
 
-    def with_pairs(pairs: Column) -> Column:
-        init = F.struct(
-            F.lit("").alias("marks"),
-            F.lit(False).alias("took"),
-            F.lit(0).alias("n_merges"),
-        )
+    from .dehyphen import _chunked_marks_fold
 
+    def with_pairs(pairs: Column) -> Column:
         def step(acc: Column, p: Column) -> Column:
             eff = F.when(acc["took"], p["cur"]["rest"]).otherwise(p["cur"]["text"])
             scope = p["nxt"].isNotNull() & F.endswith(eff, F.lit("-"))
@@ -145,18 +141,13 @@ def _line_marks(lines: Column) -> Column:
                 .when(scope, F.lit("m"))
                 .otherwise(F.lit("k"))
             )
-            return F.struct(
-                F.concat(acc["marks"], mark).alias("marks"),
-                (mark == "m").alias("took"),
-                (acc["n_merges"] + (mark == "m").cast("int")).alias("n_merges"),
+            return F.named_struct(
+                F.lit("marks"), F.concat(acc["marks"], mark),
+                F.lit("took"), mark == "m",
+                F.lit("n_merges"), acc["n_merges"] + (mark == "m").cast("int"),
             )
 
-        fold = F.aggregate(
-            pairs, init, step,
-            lambda acc: F.struct(
-                acc["marks"].alias("marks"), acc["n_merges"].alias("n_merges")
-            ),
-        )
+        fold = _chunked_marks_fold(pairs, step)
 
         def with_fold(fs: Column) -> Column:
             marks_arr = F.slice(F.split(fs["marks"], ""), 1, F.size(pairs))

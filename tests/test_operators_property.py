@@ -121,3 +121,25 @@ def test_line_array_tiers_equal(spark):
         assert fold == marks, (list(r["lines"]), fold, marks)
         want = oracle.dehyphenate_lines(list(r["lines"]))
         assert fold == (want[0], want[1]), (list(r["lines"]), fold, want)
+
+
+def test_chunked_marks_cross_boundary_chains(spark):
+    """The chunk-speculative pass 1 must be exact when a donation chain
+    CROSSES chunk boundaries (entry state took=True): 2000 lines all
+    ending '-' cascade through ~4 chunks; plus a blank-drop straddling a
+    boundary."""
+    from pyspark.sql import functions as F
+
+    from ocrd_odem_spark.operators.quality import _line_marks
+
+    full_chain = [f"w{i}-" for i in range(2000)] + ["ende fertig"]
+    boundary_blank = [f"x{i}-" for i in range(511)] + [" ", "nach dem loch"] + [
+        f"y{i} z{i}" for i in range(5)
+    ]
+    pages = [full_chain, boundary_blank]
+    pdf = spark.createDataFrame([(p,) for p in pages], "lines array<string>")
+    out = pdf.select("lines", _line_marks(F.col("lines")).alias("m")).collect()
+    for r in out:
+        got = (list(r["m"]["out"]), r["m"]["n_merges"])
+        want = oracle.dehyphenate_lines(list(r["lines"]))
+        assert got == (want[0], want[1]), (len(r["lines"]), got[1], want[1])
