@@ -748,13 +748,17 @@ def q57_checkpoint_resume_spark(spark, sf_dir):
     docs = docs_nested_df(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="q57_ckpt_")
     out_dir, st_dir = f"{tmp}/out", f"{tmp}/state"
+    # arrow extraction tier: byte-identical to hof (tier equality tested),
+    # and the protocol under test is the checkpoint/publish machinery, not
+    # the extraction mode — this halves the query's two-full-runs cost
+    transform = lambda d: pipeline.extract(d, mode="arrow")  # noqa: E731
     try:
         r1 = _state.run_with_checkpoint(
-            spark, docs, pipeline.extract, out_dir, st_dir,
+            spark, docs, transform, out_dir, st_dir,
             n_buckets=16, fail_after_buckets=5,
         )
         r2 = _state.run_with_checkpoint(
-            spark, docs, pipeline.extract, out_dir, st_dir, n_buckets=16,
+            spark, docs, transform, out_dir, st_dir, n_buckets=16,
         )
         if r1["published"] != 5:
             raise AssertionError(f"crash run published {r1['published']} != 5")
