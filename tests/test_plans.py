@@ -62,9 +62,9 @@ def test_blacklist_join_broadcasts(spark, docs_parquet, page_meta_df):
 
 
 def test_relational_join_broadcasts_small_dims(spark):
-    from ocrd_odem_spark.plans.queries import registry
+    from ocrd_odem_spark.plans.queries import retired_relational
 
-    fn, _ = registry()["q11_top_revenue_join"]
+    fn, _ = retired_relational()["q11_top_revenue_join"]
     plan = _plan(fn(spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in plan  # nation (and customer) broadcast
 
