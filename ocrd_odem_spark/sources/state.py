@@ -9,19 +9,31 @@ crash anywhere yields either "bucket fully visible and marked done" or
 "bucket re-processed from scratch on resume" — never duplicates.
 
 On a real deployment both tables are Iceberg and the state commit is a
-``MERGE INTO`` with snapshot atomicity; this sandbox implementation uses
-parquet directories with atomic directory renames as the stand-in, keeping
-the identical protocol:
+``MERGE INTO`` with snapshot atomicity; this sandbox implementation
+emulates the snapshot contract directly — data files are invisible until
+ONE manifest file appears by atomic rename:
 
     1. pending = all buckets  ANTI JOIN  state(done)      -- partition prune
-    2. stage output for pending buckets (staging dir / Iceberg snapshot)
+    2. stage output for pending buckets (``_staging_<run_id>``)
     3. ONE aggregation over staging computes every bucket's lineage
-       metrics, then buckets publish by rename (cheap filesystem ops) and
-       ONE state append records them all — O(1) Spark jobs per run, not
-       O(n_buckets) serial driver round-trips
+       metrics
+    4. staged bucket dirs move under ``_data/<run_id>/`` — still invisible
+       to readers
+    5. COMMIT: one manifest (bucket -> data path + stats) is fsync'd and
+       renamed into ``_commits/<seq>_<run_id>.json``; readers resolve
+       visibility ONLY through manifests (latest commit per bucket wins),
+       so there is no torn-read window — before the rename they see none
+       of the run's buckets, after it all of them.  (Directory-rename
+       publishing, the r4 protocol, had N visibility events and is
+       copy+delete — non-atomic — on S3-like object storage.)
+    6. ONE state append marks the committed buckets done — O(1) Spark
+       jobs per run, not O(n_buckets) serial driver round-trips
 
-Re-running a completed workload is a no-op; re-running after a mid-write
-crash recomputes only unpublished buckets.
+Re-running a completed workload is a no-op; re-running after a crash at
+ANY point — mid-stage, after the data move but before the commit, or
+between commit and state append — recomputes exactly the buckets that are
+not state-marked, and uncommitted data/staging debris is swept under the
+writer lock.
 """
 
 from __future__ import annotations
@@ -106,12 +118,16 @@ def run_with_checkpoint(
     state_path: str,
     n_buckets: int = 64,
     fail_after_buckets: int | None = None,
+    fail_before_commit: bool = False,
 ) -> dict:
     """Process ``docs`` through ``transform`` with exact-resume semantics.
 
     ``transform``: (DataFrame of (doc_id, spans)) -> same shape.
-    ``fail_after_buckets``: test hook — publish only that many buckets and
-    stop (simulates a mid-run crash after partial commit).
+    ``fail_after_buckets``: test hook — commit only that many buckets and
+    stop (simulates a mid-run crash after a partial snapshot commit).
+    ``fail_before_commit``: test hook — stop after the data move but
+    BEFORE the manifest commit (crash in the publish window; the staged
+    data must stay invisible to readers and re-process on resume).
 
     Returns {"published": int, "skipped": int, "run_id": str}.
     """
@@ -129,15 +145,23 @@ def run_with_checkpoint(
     # lock, and a recycled pid read as live — ADVICE r3).
     lock_fd = _acquire_writer_lock(output_path, run_id)
     try:
-        # sweep staging left by crashed runs — resume uses a fresh run_id,
-        # so a stale _staging_<old> dir would otherwise leak forever (safe
-        # under the writer lock: no other run can be mid-write here)
+        # sweep debris left by crashed runs — resume uses a fresh run_id,
+        # so stale _staging_<old> dirs and UNCOMMITTED _data/<old> dirs
+        # (moved but never manifest-committed: invisible to readers) would
+        # otherwise leak forever (safe under the writer lock: no other run
+        # can be mid-write here; committed data dirs are immutable)
         for name in os.listdir(output_path):
             if name.startswith("_staging_"):
                 shutil.rmtree(os.path.join(output_path, name), ignore_errors=True)
+        data_root = os.path.join(output_path, _DATA_DIR)
+        if os.path.isdir(data_root):
+            committed = _committed_run_ids(output_path)
+            for rid in os.listdir(data_root):
+                if rid not in committed:
+                    shutil.rmtree(os.path.join(data_root, rid), ignore_errors=True)
         return _run_with_checkpoint_locked(
             spark, docs, transform, output_path, store, run_id,
-            n_buckets, fail_after_buckets,
+            n_buckets, fail_after_buckets, fail_before_commit,
         )
     finally:
         _release_writer_lock(lock_fd)
@@ -191,6 +215,7 @@ def _run_with_checkpoint_locked(
     run_id: str,
     n_buckets: int,
     fail_after_buckets: int | None,
+    fail_before_commit: bool = False,
 ) -> dict:
 
     bucket = F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
@@ -250,19 +275,35 @@ def _run_with_checkpoint_locked(
             for r in agg
         }
 
+    # --- snapshot publish (Iceberg commit contract, SURVEY §7.6) --------
+    # Data files move into an UNCOMMITTED per-run directory first; they
+    # become visible only when ONE manifest file appears atomically under
+    # _commits/.  A reader can therefore never observe a torn subset of a
+    # run's buckets: before the manifest rename it sees none of them, after
+    # it it sees all of them.  (The r4 protocol renamed each bucket dir
+    # into the output root — correct on POSIX local fs, but N separate
+    # visibility events; on S3-like storage rename is copy+delete and a
+    # crash mid-loop left a torn, reader-visible prefix.)
     published = []
     truncated = False
+    data_dir = os.path.join(output_path, _DATA_DIR, run_id)
+    if bucket_dirs:
+        os.makedirs(data_dir, exist_ok=True)
     for name in bucket_dirs:
         b = int(name.split("=", 1)[1])
-        src = os.path.join(staging, name)
-        dst = os.path.join(output_path, name)
-        if os.path.exists(dst):
-            shutil.rmtree(dst)  # idempotent re-publish after crash
-        shutil.move(src, dst)
+        shutil.move(os.path.join(staging, name), os.path.join(data_dir, name))
         published.append(b)
         if fail_after_buckets is not None and len(published) >= fail_after_buckets:
             truncated = True
             break
+    if fail_before_commit:
+        # test hook: crash AFTER the data move, BEFORE the manifest commit —
+        # the new crash point the rename protocol could not express.  The
+        # moved data must stay invisible to read_output and the buckets
+        # must re-process on resume.
+        return {"published": 0, "skipped": len(done), "run_id": run_id}
+    if published:
+        _commit_manifest(output_path, run_id, published, stats_by_bucket)
     if published:
         store.mark_done(
             spark,
@@ -285,5 +326,98 @@ def _run_with_checkpoint_locked(
     return {"published": len(published), "skipped": len(done), "run_id": run_id}
 
 
+_DATA_DIR = "_data"
+_COMMITS_DIR = "_commits"
+
+
+def _commits_path(output_path: str) -> str:
+    return os.path.join(output_path, _COMMITS_DIR)
+
+
+def _commit_manifest(
+    output_path: str,
+    run_id: str,
+    buckets: list[int],
+    stats_by_bucket: dict[int, dict],
+) -> str:
+    """Make this run's staged buckets visible in ONE atomic step.
+
+    The manifest is written to a temp name, fsync'd, then renamed into
+    ``_commits/<seq>_<run_id>.json`` — the rename is the commit (the same
+    contract as an Iceberg snapshot's metadata swap).  ``seq`` is a dense
+    commit counter so readers can resolve "latest wins" when a bucket was
+    re-published after a crash between commit and state append."""
+    import json
+
+    cdir = _commits_path(output_path)
+    os.makedirs(cdir, exist_ok=True)
+    seqs = [
+        int(n.split("_", 1)[0])
+        for n in os.listdir(cdir)
+        if n.endswith(".json") and n.split("_", 1)[0].isdigit()
+    ]
+    seq = (max(seqs) + 1) if seqs else 1
+    manifest = {
+        "seq": seq,
+        "run_id": run_id,
+        "buckets": {
+            str(b): f"{_DATA_DIR}/{run_id}/_bucket={b}" for b in buckets
+        },
+        "stats": {str(b): stats_by_bucket.get(b, {}) for b in buckets},
+    }
+    tmp = os.path.join(cdir, f"_tmp_{run_id}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    final = os.path.join(cdir, f"{seq:08d}_{run_id}.json")
+    os.rename(tmp, final)  # THE commit: one atomic visibility event
+    dfd = os.open(cdir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)  # durable directory entry before state append
+    finally:
+        os.close(dfd)
+    return final
+
+
+def _committed_buckets(output_path: str) -> dict[int, str]:
+    """bucket -> committed relative data path, latest commit wins."""
+    import json
+
+    cdir = _commits_path(output_path)
+    if not os.path.isdir(cdir):
+        return {}
+    latest: dict[int, str] = {}
+    for name in sorted(n for n in os.listdir(cdir) if n.endswith(".json")):
+        with open(os.path.join(cdir, name)) as fh:
+            m = json.load(fh)
+        for b, rel in m["buckets"].items():
+            latest[int(b)] = rel
+    return latest
+
+
+def _committed_run_ids(output_path: str) -> set[str]:
+    import json
+
+    cdir = _commits_path(output_path)
+    if not os.path.isdir(cdir):
+        return set()
+    rids: set[str] = set()
+    for name in os.listdir(cdir):
+        if name.endswith(".json"):
+            with open(os.path.join(cdir, name)) as fh:
+                rids.add(json.load(fh)["run_id"])
+    return rids
+
+
 def read_output(spark: SparkSession, output_path: str) -> DataFrame:
-    return spark.read.parquet(output_path).select("doc_id", "spans")
+    """Snapshot-isolated read: only manifest-committed buckets are
+    visible (latest commit per bucket).  Falls back to a direct parquet
+    read for pre-manifest output layouts."""
+    committed = _committed_buckets(output_path)
+    if not committed:
+        return spark.read.parquet(output_path).select("doc_id", "spans")
+    paths = sorted(
+        os.path.join(output_path, rel) for rel in set(committed.values())
+    )
+    return spark.read.parquet(*paths).select("doc_id", "spans")

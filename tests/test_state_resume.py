@@ -167,3 +167,76 @@ def test_state_dir_mixed_schema_reads_deterministically(spark, tmp_path):
     assert rows[1]["n_pages"] == 3 and rows[1]["n_dehyphenated"] == 1
     assert rows[0]["n_pages"] is None and rows[0]["n_dehyphenated"] is None
     assert rows[0]["n_docs"] == 5
+
+
+def test_crash_between_data_move_and_commit_no_torn_reads(
+    spark, docs_df, corpus, tmp_path
+):
+    """The publish window's crash point (VERDICT r4 item 5): a run that
+    dies AFTER moving staged data under _data/<run_id>/ but BEFORE the
+    manifest rename must leave readers seeing exactly the previously
+    committed snapshot — not one row more (no torn reads) — and resume
+    must re-process the uncommitted buckets to full equality."""
+    import os
+
+    out_dir = str(tmp_path / "out")
+    st_dir = str(tmp_path / "state")
+
+    # snapshot 1: three buckets committed
+    r1 = state.run_with_checkpoint(
+        spark, docs_df, _transform, out_dir, st_dir,
+        n_buckets=16, fail_after_buckets=3,
+    )
+    assert r1["published"] == 3
+    visible_after_commit = sorted(
+        r["doc_id"] for r in state.read_output(spark, out_dir).collect()
+    )
+
+    # crash in the publish window: data moved, manifest never written
+    r2 = state.run_with_checkpoint(
+        spark, docs_df, _transform, out_dir, st_dir,
+        n_buckets=16, fail_before_commit=True,
+    )
+    assert r2["published"] == 0 and r2["skipped"] == 3
+    data_root = os.path.join(out_dir, "_data")
+    uncommitted = [
+        d for d in os.listdir(data_root) if d != r1["run_id"]
+    ]
+    assert uncommitted, "crash hook should leave moved-but-uncommitted data"
+
+    # torn-read check: the reader still sees EXACTLY snapshot 1
+    visible_mid_crash = sorted(
+        r["doc_id"] for r in state.read_output(spark, out_dir).collect()
+    )
+    assert visible_mid_crash == visible_after_commit
+
+    # resume: sweeps the uncommitted debris, re-processes those buckets
+    r3 = state.run_with_checkpoint(
+        spark, docs_df, _transform, out_dir, st_dir, n_buckets=16
+    )
+    assert r3["skipped"] == 3
+    n_nonempty = (
+        docs_df.select(F.pmod(F.xxhash64("doc_id"), F.lit(16)).cast("int"))
+        .distinct()
+        .count()
+    )
+    assert r3["published"] == n_nonempty - 3
+    left = set(os.listdir(data_root))
+    assert not (set(uncommitted) & left), "uncommitted data dir not swept"
+
+    direct = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in _transform(docs_df).collect()
+    }
+    resumed = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in state.read_output(spark, out_dir).collect()
+    }
+    assert direct == resumed
+
+    # and the commit log is the only visibility channel: every visible
+    # bucket path is manifest-listed
+    committed = state._committed_buckets(out_dir)
+    assert len(committed) == n_nonempty
+    for rel in committed.values():
+        assert os.path.isdir(os.path.join(out_dir, rel))
