@@ -90,11 +90,11 @@ def _decode_raw_gray(payload: bytes):
     """Pure-numpy decode of codec-less raster formats -> 2D float gray.
 
     Supports binary PPM (P6, maxval 255), 24-bit uncompressed BMP, and
-    baseline JPEG (SOF0 — the dominant scan format; see
-    ``functions/jpegdec.py``), so real pixel decode works even in
-    containers without PIL.  Raises ValueError on malformed input,
-    NotImplementedError on formats that still need a codec (PNG,
-    progressive JPEG, TIFF-compressed).
+    JPEG — baseline SOF0/SOF1 AND progressive SOF2, the two formats that
+    cover real-world scans (see ``functions/jpegdec.py``) — so real pixel
+    decode works even in containers without PIL.  Raises ValueError on
+    malformed input, NotImplementedError on formats that still need a
+    codec (PNG, arithmetic-coded JPEG, TIFF-compressed).
     """
     import numpy as np
 

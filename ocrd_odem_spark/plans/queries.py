@@ -901,7 +901,10 @@ def q59_export_manifest_spark(spark, sf_dir):
 
 Q59_ORACLE = f"""WITH {_extract_oracle_ctes()}
 SELECT doc_id,
-       'odem_' || doc_id AS saf_name,
+       'odem_' || coalesce(nullif(regexp_replace(regexp_replace(
+           regexp_replace(doc_id, '[^A-Za-z0-9._+-]', '_', 'g'),
+           '\\.\\.+', '_', 'g'), '^\\.+', ''), ''), '_')
+         AS saf_name,
        4 AS n_entries,
        cast(length(coalesce(string_agg(
            CASE WHEN kind='text' THEN text END, chr(10) ORDER BY offset), ''))

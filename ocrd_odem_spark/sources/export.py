@@ -19,6 +19,7 @@ hashable across runs and engines.
 from __future__ import annotations
 
 import io
+import os
 import zipfile
 from collections.abc import Iterator
 
@@ -32,6 +33,22 @@ EXPORT_SCHEMA = (
 _ZIP_EPOCH = (1980, 1, 1, 0, 0, 0)  # fixed entry timestamp -> stable bytes
 
 
+def _fs_safe(doc_id: str) -> str:
+    """Filesystem-safe artifact name for a raw identifier.
+
+    OAI-style ids carry ':' and '/' (``oai:host:path/123``); a raw join
+    into the export share could escape it via '/' or '..' segments
+    (ADVICE r4).  The reference derives safe names the same way: every
+    path separator and non-portable character maps to '_', and dot-only
+    segments are neutralized."""
+    import re as _re
+
+    safe = _re.sub(r"[^A-Za-z0-9._+-]", "_", str(doc_id).replace(os.sep, "_"))
+    safe = _re.sub(r"\.{2,}", "_", safe)  # no '..' anywhere
+    safe = safe.lstrip(".")  # no hidden files
+    return safe or "_"
+
+
 def _zip_deterministic(entries: list[tuple[str, bytes]]) -> bytes:
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
@@ -43,10 +60,10 @@ def _zip_deterministic(entries: list[tuple[str, bytes]]) -> bytes:
 
 
 def _saf_entries(doc_id: str, bundle: str, collection: str | None,
-                 mets_xml: str | None) -> list[tuple[str, bytes]]:
+                 mets_xml: str | None, stem: str | None = None) -> list[tuple[str, bytes]]:
     """SAF bundle layout: content + manifest + minimal dublin_core, the
     shape DSpace ingests (reference delegates to digiflow's SAF writer)."""
-    entries = [(f"{doc_id}.txt", bundle.encode("utf-8"))]
+    entries = [(f"{stem or _fs_safe(doc_id)}.txt", bundle.encode("utf-8"))]
     if mets_xml is not None:
         entries.append(("mets.xml", mets_xml.encode("utf-8")))
     dc = (
@@ -114,11 +131,13 @@ def export_documents(
                 doc_id = rec.doc_id
                 bundle_text = rec.bundle0 or ""
                 mets_xml = getattr(rec, "mets0", None)
-                saf_name = f"{pfx}{doc_id}"
+                stem = _fs_safe(doc_id)
+                saf_name = f"{pfx}{stem}"
                 if fmt == "saf":
-                    entries = _saf_entries(doc_id, bundle_text, collection, mets_xml)
+                    entries = _saf_entries(doc_id, bundle_text, collection,
+                                           mets_xml, stem=stem)
                 else:
-                    entries = [(f"{doc_id}.txt", bundle_text.encode("utf-8"))]
+                    entries = [(f"{stem}.txt", bundle_text.encode("utf-8"))]
                     if mets_xml is not None:
                         entries.append(("mets.xml", mets_xml.encode("utf-8")))
                 payload = _zip_deterministic(entries)
@@ -139,12 +158,13 @@ def materialize_zips(export_table: DataFrame, out_dir: str) -> int:
     """Delivery step: write each row's zip to ``out_dir`` (the export
     share).  Runs on the driver over a collected manifest ONLY when asked;
     a production share-mount would instead ``foreachPartition`` this."""
-    import os
-
     os.makedirs(out_dir, exist_ok=True)
     n = 0
     for row in export_table.select("saf_name", "zip_bytes").toLocalIterator():
-        with open(os.path.join(out_dir, row["saf_name"] + ".zip"), "wb") as fh:
+        name = row["saf_name"]
+        if os.sep in name or name.startswith(".") or ".." in name:
+            raise ValueError(f"unsafe export artifact name {name!r}")
+        with open(os.path.join(out_dir, name + ".zip"), "wb") as fh:
             fh.write(bytes(row["zip_bytes"]))
         n += 1
     return n

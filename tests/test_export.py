@@ -101,3 +101,52 @@ def test_export_plan_single_exchange(spark, docs_df):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") <= 1, final
     assert "MapInPandas" in final
+
+
+def test_hostile_doc_ids_sanitized(spark, tmp_path):
+    """OAI-style and adversarial ids (path separators, '..' segments)
+    must not escape the export share or produce nested zip paths
+    (ADVICE r4)."""
+    import os
+
+    from ocrd_odem_spark.schema import DOCS_SCHEMA
+
+    hostile = [
+        "oai:menadoc.bibliothek.uni-halle.de:dmg/123",
+        "../../etc/passwd",
+        "a/b\\c:d",
+        "...",
+    ]
+    docs = spark.createDataFrame(
+        [
+            {
+                "doc_id": d,
+                "spans": [
+                    {"kind": "text", "text": "inhalt", "media_ref": None,
+                     "offset": 0}
+                ],
+            }
+            for d in hostile
+        ],
+        DOCS_SCHEMA,
+    )
+    table = export_documents(pipeline.extract(docs), fmt="saf", prefix="p_")
+    rows = table.collect()
+    assert len(rows) == len(hostile)
+    share = str(tmp_path / "share")
+    n = materialize_zips(table, share)
+    assert n == len(hostile)
+    written = sorted(os.listdir(share))
+    assert len(written) == len(hostile)  # no collisions among these ids
+    for name in written:
+        assert os.sep not in name and ".." not in name
+        assert not name.startswith(".")
+        with zipfile.ZipFile(os.path.join(share, name)) as zf:
+            for entry in zf.namelist():
+                assert "/" not in entry and ".." not in entry
+    # the raw id is preserved where it is DATA, not a path: dublin_core
+    by_id = {r["doc_id"]: r for r in rows}
+    blob = bytes(by_id["../../etc/passwd"]["zip_bytes"])
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        dc = zf.read("dublin_core.xml").decode()
+    assert "../../etc/passwd" in dc

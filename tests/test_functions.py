@@ -478,9 +478,10 @@ def test_train_centroids_guards(spark):
 
 
 def test_jpeg_decode_tier(spark):
-    """A real baseline JPEG decodes through the Arrow feature stage with NO
-    codec library: exact-value features from a known synthetic image, and a
-    PROGRESSIVE payload stays on the error channel."""
+    """Real baseline AND progressive JPEGs decode through the Arrow
+    feature stage with NO codec library: exact-value features from a known
+    synthetic image; an arithmetic-coded payload stays on the error
+    channel."""
     if multimodal.HAS_PIL:
         import pytest
 
@@ -488,26 +489,30 @@ def test_jpeg_decode_tier(spark):
     import numpy as np
 
     from tests.test_jpeg_decode import encode_jpeg
+    from tests.test_jpeg_progressive import encode_jpeg_progressive
 
     # 16x16 grayscale, solid 8x8 quadrants 40/80/120/200
     img = np.zeros((16, 16))
     img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = 40.0, 80.0, 120.0, 200.0
     payload = encode_jpeg(img)
+    prog = encode_jpeg_progressive(img)  # SOF2, same coefficients
 
-    # progressive stand-in: flip the SOF marker
-    prog = bytearray(payload)
-    prog[prog.index(b"\xff\xc0") + 1] = 0xC2
+    # arithmetic-coded stand-in: flip the SOF marker
+    arith = bytearray(payload)
+    arith[arith.index(b"\xff\xc0") + 1] = 0xC9
 
     meta = {"width": 16, "height": 16, "dpi": None,
             "n_bytes": len(payload), "duration_ms": None}
     rows = [
         ("base", "d1", "r1", "image/jpeg", bytearray(payload), meta),
-        ("prog", "d1", "r2", "image/jpeg", bytearray(bytes(prog)), meta),
+        ("prog", "d1", "r2", "image/jpeg", bytearray(prog), meta),
+        ("arith", "d1", "r3", "image/jpeg", bytearray(bytes(arith)), meta),
     ]
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     got = {r["media_id"]: r for r in
            multimodal.extract_image_features(media).collect()}
-    assert got["base"]["decode_error"] is None
-    feats = [round(v * 255, 0) for v in got["base"]["feat"]]
-    assert feats == [40.0, 80.0, 120.0, 200.0]
-    assert "codec library" in got["prog"]["decode_error"]
+    for name in ("base", "prog"):
+        assert got[name]["decode_error"] is None
+        feats = [round(v * 255, 0) for v in got[name]["feat"]]
+        assert feats == [40.0, 80.0, 120.0, 200.0], name
+    assert "codec library" in got["arith"]["decode_error"]

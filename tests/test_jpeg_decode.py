@@ -228,11 +228,13 @@ def test_restart_markers():
     assert np.abs(got - img).max() <= 3.0
 
 
-def test_progressive_rejected_honestly():
+def test_arithmetic_coding_rejected_honestly():
+    """Progressive (SOF2) decodes natively since round 5; the honest
+    decode_error channel now starts at arithmetic coding (SOF9+)."""
     img = _gradient(8, 8)
     data = bytearray(encode_jpeg(img))
     i = data.index(b"\xff\xc0")
-    data[i + 1] = 0xC2  # fake a progressive SOF
+    data[i + 1] = 0xC9  # arithmetic-coded sequential SOF
     with pytest.raises(NotImplementedError, match="non-baseline"):
         decode_baseline_jpeg(bytes(data))
 
