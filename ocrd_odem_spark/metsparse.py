@@ -24,6 +24,7 @@ from collections.abc import Iterator
 _METS = "{http://www.loc.gov/METS/}"
 _MODS = "{http://www.loc.gov/mods/v3}"
 _XLINK = "{http://www.w3.org/1999/xlink}"
+_DV = "{http://dfg-viewer.de/}"
 
 # keep canonical prefixes on re-serialization (scrub_file_groups) instead of
 # ElementTree's generated ns0:/ns1: — payloads stay diffable after a scrub
@@ -425,6 +426,16 @@ def _ddb_profile_rules(root, hit, newspaper_like: bool) -> None:
       the DDB structure-type vocabulary
     * ``structMapLogical_22`` error — a leaf LOGICAL div with neither an
       smLink to the physical structMap nor an fptr
+
+    Round-5 additions (profile-convention ids, see provenance note in the
+    code below):
+
+    * ``structMapPhysical_01`` error — no PHYSICAL structMap with a div
+    * ``fileSec_01``           error — no mets:fileSec with any mets:file
+    * ``structLink_01``        error — both structMaps present but zero
+      mets:smLink entries
+    * ``amdSec_04``            error — no rights/license statement
+      (dv:license or mods:accessCondition)
     """
     n_untyped_rel = sum(
         1 for rel in root.iter(f"{_MODS}relatedItem") if not rel.get("type")
@@ -508,6 +519,52 @@ def _ddb_profile_rules(root, hit, newspaper_like: bool) -> None:
     if n_unlinked:
         hit("structMapLogical_22", "error",
             f"{n_unlinked}x leaf LOGICAL div with no smLink and no fptr")
+
+    # --- round-5 breadth: further mandatory-structure rules of the public
+    # DDB METS/MODS application profile.  Provenance note: the 8 rules
+    # above carry ids PINNED by the reference's own fixtures/configs; the
+    # digiflow library that owns the full numbered ruleset is not vendored
+    # by the reference, so the ids below follow the profile's element_NN
+    # convention and are fixture-verified against the reference's clean
+    # documents (all ULB fixtures pass) plus element-stripped broken
+    # variants — see tests/test_mets_validation.py.
+
+    physical_sms = [
+        sm for sm in root.iter(f"{_METS}structMap")
+        if sm.get("TYPE") == "PHYSICAL"
+    ]
+    has_phys_div = any(
+        next(sm.iter(f"{_METS}div"), None) is not None for sm in physical_sms
+    )
+    if not has_phys_div:
+        hit("structMapPhysical_01", "error",
+            "no mets:structMap TYPE=\"PHYSICAL\" with a physical sequence")
+
+    has_file = next(
+        (f for fs in root.iter(f"{_METS}fileSec")
+         for f in fs.iter(f"{_METS}file")),
+        None,
+    )
+    if has_file is None:
+        hit("fileSec_01", "error", "no mets:fileSec with any mets:file")
+
+    if logical_sms and physical_sms:
+        n_links = sum(1 for _ in root.iter(f"{_METS}smLink"))
+        if n_links == 0:
+            hit("structLink_01", "error",
+                "LOGICAL and PHYSICAL structMaps present but no "
+                "mets:structLink/mets:smLink entries")
+
+    has_license = any(
+        (el.text or "").strip() for el in root.iter(f"{_DV}license")
+    ) or any(
+        (el.text or "").strip() or el.get(f"{_XLINK}href")
+        for el in root.iter(f"{_MODS}accessCondition")
+    )
+    if not has_license:
+        hit("amdSec_04", "error",
+            "no rights/license statement (dv:license or "
+            "mods:accessCondition)")
 
 
 def mets_validation(

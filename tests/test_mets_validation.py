@@ -193,3 +193,57 @@ def test_spark_validation_stage(spark):
     # and may cascade further; the fatal structural finding leads
     assert ("xsd.structmap.logical", "fatal") in by_doc["no_logical"]
     assert by_doc["malformed"] == [("xsd.parse", "fatal")]
+
+
+def test_round5_profile_rules_clean_and_broken_pairs():
+    """Round-5 breadth rules (structMapPhysical_01, fileSec_01,
+    structLink_01, amdSec_04): the clean reference fixture passes each;
+    the element-stripped variant trips exactly the one rule.  Ids follow
+    the public DDB profile's element_NN convention (provenance note in
+    metsparse._ddb_profile_rules: the digiflow numbering beyond the
+    reference-pinned 8 is not vendored by the reference)."""
+    raw = _read("1981185920_37167_03.xml")
+
+    def ids(payload):
+        _ok, fs = validate_mets_schema(payload, ddb_ignores=WORKER_IGNORES)
+        return {f["rule_id"] for f in fs}
+
+    assert ids(raw) == set()
+
+    # strip the PHYSICAL structMap -> structMapPhysical_01 (plus the
+    # now-dangling logical links lose their physical side: the leaf-link
+    # rule is production-ignored, so only the physical rule fires)
+    no_phys = re.sub(
+        r'<mets:structMap TYPE="PHYSICAL">.*?</mets:structMap>',
+        "", raw, flags=re.S,
+    )
+    assert "structMapPhysical_01" in ids(no_phys)
+
+    # strip the fileSec -> fileSec_01 (fileSec_02 DEFAULT-group rule is
+    # subsumed but production-ignored here anyway)
+    no_files = re.sub(r"<mets:fileSec>.*?</mets:fileSec>", "", raw, flags=re.S)
+    got = ids(no_files)
+    assert "fileSec_01" in got
+
+    # strip the structLink while keeping both maps -> structLink_01
+    no_links = re.sub(
+        r"<mets:structLink>.*?</mets:structLink>", "", raw, flags=re.S
+    )
+    assert "structLink_01" in ids(no_links)
+
+    # strip the license statement -> amdSec_04
+    no_rights = re.sub(r"<dv:license>[^<]*</dv:license>", "", raw)
+    no_rights = re.sub(
+        r"<mods:accessCondition[^>]*>[^<]*</mods:accessCondition>", "",
+        no_rights,
+    )
+    # self-closing accessCondition with only attributes still counts as a
+    # statement when it carries an xlink:href — strip those too
+    no_rights = re.sub(r"<mods:accessCondition[^>]*/>", "", no_rights)
+    assert "amdSec_04" in ids(no_rights)
+
+    # every new rule is individually ignorable, like the pinned ones
+    _ok, fs = validate_mets_schema(
+        no_rights, ddb_ignores=WORKER_IGNORES + ("amdSec_04",)
+    )
+    assert "amdSec_04" not in {f["rule_id"] for f in fs}
