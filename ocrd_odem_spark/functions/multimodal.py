@@ -89,12 +89,14 @@ except ImportError:  # pragma: no cover - depends on environment
 def _decode_raw_gray(payload: bytes):
     """Pure-numpy decode of codec-less raster formats -> 2D float gray.
 
-    Supports binary PPM (P6, maxval 255), 24-bit uncompressed BMP, and
-    JPEG — baseline SOF0/SOF1 AND progressive SOF2, the two formats that
-    cover real-world scans (see ``functions/jpegdec.py``) — so real pixel
-    decode works even in containers without PIL.  Raises ValueError on
-    malformed input, NotImplementedError on formats that still need a
-    codec (PNG, arithmetic-coded JPEG, TIFF-compressed).
+    Supports binary PPM (P6, maxval 255), 24-bit uncompressed BMP, JPEG —
+    baseline SOF0/SOF1 AND progressive SOF2, the two formats that cover
+    real-world scans (see ``functions/jpegdec.py``) — and 8-bit PNG
+    (gray/RGB/RGBA/palette, all scanline filters; ``functions/pngdec.py``),
+    so real pixel decode works even in containers without PIL.  Raises
+    ValueError on malformed input, NotImplementedError on formats that
+    still need a codec (arithmetic-coded JPEG, 16-bit/interlaced PNG,
+    TIFF-compressed).
     """
     import numpy as np
 
@@ -102,6 +104,10 @@ def _decode_raw_gray(payload: bytes):
         from .jpegdec import decode_jpeg_gray
 
         return decode_jpeg_gray(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from .pngdec import decode_png_gray
+
+        return decode_png_gray(payload)
 
     luma = (0.299, 0.587, 0.114)
     if payload[:2] == b"P6":

@@ -1,0 +1,136 @@
+"""Minimal PNG decoder in pure numpy + stdlib zlib — the second compressed
+tier of the multimodal decode stack (``multimodal._decode_raw_gray``).
+
+Scope, honestly stated: 8-bit samples, color types 0 (gray), 2 (RGB),
+3 (palette), 4 (gray+alpha), 6 (RGBA), all five scanline filters
+(None/Sub/Up/Average/Paeth), non-interlaced only.  16-bit samples,
+sub-byte depths and Adam7 interlacing raise ``NotImplementedError`` and
+land on the ``decode_error`` data channel like every other codec gap.
+Reference tie-in: the reference's workers decode page images through PIL
+(``lib/odem/processing/image.py:37-54``); together with
+``functions/jpegdec.py`` this keeps real pixel decode working for the
+common formats in containers without a codec library.
+
+Performance note: rows whose filter has a horizontal dependency
+(Sub/Average/Paeth) unfilter in a per-pixel loop — right for
+fixture-scale payloads; a production cluster drops PIL/libpng in front
+(``HAS_PIL`` tier wins when importable) and nothing else changes.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+# channels per color type
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode PNG bytes -> float64 array: (H, W) gray or (H, W, C)."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG payload (missing signature)")
+    pos = 8
+    ihdr = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        length = int.from_bytes(data[pos : pos + 4], "big")
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("malformed PLTE")
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, ct, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG needs a codec library")
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG unsupported")
+    if ct not in _CHANNELS:
+        raise ValueError(f"invalid PNG color type {ct}")
+    if ct == 3 and palette is None:
+        raise ValueError("palette color type without PLTE")
+    nch = _CHANNELS[ct]
+
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # truncated/corrupt stream or bad Adler-32
+        raise ValueError(f"corrupt PNG zlib stream: {exc}") from None
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("truncated image data")
+
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up — vectorized (no horizontal dependency)
+            cur = (line.astype(np.int32) + prev).astype(np.uint8)
+        elif f in (1, 3, 4):  # Sub / Average / Paeth — sequential in x
+            cur = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - nch]) if x >= nch else 0
+                if f == 1:
+                    v = line[x] + a
+                elif f == 3:
+                    v = line[x] + ((a + int(prev[x])) >> 1)
+                else:
+                    c = int(prev[x - nch]) if x >= nch else 0
+                    v = line[x] + _paeth(a, int(prev[x]), c)
+                cur[x] = v & 0xFF
+        else:
+            raise ValueError(f"invalid scanline filter {f}")
+        out[y] = cur
+        prev = cur
+
+    px = out.reshape(h, w, nch).astype(np.float64)
+    if ct == 3:
+        return palette[out.reshape(h, w)].astype(np.float64)
+    if nch == 1:
+        return px[..., 0]
+    return px
+
+
+def decode_png_gray(data: bytes) -> np.ndarray:
+    """Decode to the 2D luma plane the feature stage consumes (alpha is
+    dropped; palette resolves to RGB first)."""
+    img = decode_png(data)
+    if img.ndim == 2:
+        return img
+    if img.shape[2] == 2:  # gray + alpha
+        return img[..., 0]
+    rgb = img[..., :3]
+    return rgb @ np.array([0.299, 0.587, 0.114])

@@ -335,16 +335,24 @@ def test_cosine_near_duplicates(spark):
 
 
 def test_pil_decode_tier(spark):
-    """When PIL is importable, fake_decoder=False decodes a real PNG into
-    the 2x2 grayscale feature; malformed payloads stay in the error
-    channel.  Skipped (stub tier asserted instead) when PIL is absent."""
-    import base64
+    """fake_decoder=False decodes a real PNG into the 2x2 grayscale
+    feature — via PIL when importable, else the pure-numpy PNG tier
+    (round 5; the old base64 fixture here had a corrupt IDAT CRC and
+    Adler-32, unnoticed while the no-PIL branch only asserted the
+    codec-gap error).  Malformed payloads stay in the error channel
+    either way."""
+    import struct
+    import zlib
 
-    # 1x1 white PNG
-    png = base64.b64decode(
-        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAAAAAA6fptVAAAACklEQVR4nGP6DwAB"
-        "BQEAz1A9LwAAAABJRU5ErkJggg=="
-    )
+    def _chunk(ctype, body):
+        return (len(body).to_bytes(4, "big") + ctype + body
+                + zlib.crc32(ctype + body).to_bytes(4, "big"))
+
+    # 1x1 white 8-bit gray PNG, spec-conformant
+    png = (b"\x89PNG\r\n\x1a\n"
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+           + _chunk(b"IDAT", zlib.compress(b"\x00\xff"))
+           + _chunk(b"IEND", b""))
     rows = [("p1", "d1", "r1", "image/png", bytearray(png),
              {"width": 1, "height": 1, "dpi": None, "n_bytes": len(png),
               "duration_ms": None}),
@@ -354,12 +362,10 @@ def test_pil_decode_tier(spark):
     media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
     got = {r["media_id"]: r for r in
            multimodal.extract_image_features(media).collect()}
-    if multimodal.HAS_PIL:
-        assert got["p1"]["decode_error"] is None
-        assert [round(v, 4) for v in got["p1"]["feat"]] == [1.0, 1.0, 1.0, 1.0]
-        assert got["p2"]["decode_error"]  # malformed -> error row, not crash
-    else:
-        assert all("codec library" in got[m]["decode_error"] for m in got)
+    # PIL and the numpy PNG tier agree: a real PNG decodes ...
+    assert got["p1"]["decode_error"] is None
+    assert [round(v, 4) for v in got["p1"]["feat"]] == [1.0, 1.0, 1.0, 1.0]
+    assert got["p2"]["decode_error"]  # ... malformed -> error row, not crash
 
 
 def test_numpy_raw_decode_tier(spark):

@@ -1,0 +1,194 @@
+"""PNG decoder round-trip tests.
+
+The helper encoder below writes spec-conformant PNG directly (struct +
+zlib chunks, per-row filter choice), sharing no code with the decoder
+under test.  PNG is lossless, so every round-trip asserts EXACT pixel
+equality — including rows filtered with Sub/Up/Average/Paeth.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from ocrd_odem_spark.functions.pngdec import decode_png, decode_png_gray
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        len(body).to_bytes(4, "big")
+        + ctype
+        + body
+        + zlib.crc32(ctype + body).to_bytes(4, "big")
+    )
+
+
+def _paeth(a, b, c):
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(
+    px: np.ndarray,
+    color_type: int,
+    filters=None,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Independent PNG encoder: ``px`` is (H, W) sample indices/gray or
+    (H, W, C) uint8; ``filters`` picks the per-row filter (default: cycle
+    through all five so every unfilter path is exercised)."""
+    px = px.astype(np.uint8)
+    h, w = px.shape[:2]
+    nch = 1 if px.ndim == 2 else px.shape[2]
+    flat = px.reshape(h, w * nch).astype(np.int32)
+    stride = w * nch
+    if filters is None:
+        filters = [(y % 5) for y in range(h)]
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = filters[y]
+        cur = flat[y]
+        if f == 0:
+            enc = cur.copy()
+        elif f == 1:  # Sub
+            enc = cur.copy()
+            enc[nch:] = cur[nch:] - cur[:-nch]
+        elif f == 2:  # Up
+            enc = cur - prev
+        elif f == 3:  # Average
+            left = np.zeros(stride, dtype=np.int32)
+            left[nch:] = cur[:-nch]
+            enc = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            enc = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - nch]) if x >= nch else 0
+                c = int(prev[x - nch]) if x >= nch else 0
+                enc[x] = cur[x] - _paeth(a, int(prev[x]), c)
+        raw.append(f)
+        raw += bytes((enc & 0xFF).astype(np.uint8))
+        prev = cur
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    )
+    if palette is not None:
+        out += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+    out += _chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((yy * 7 + xx * 3) % 251).astype(np.uint8)
+
+
+def test_gray_roundtrip_all_filters():
+    img = _gradient(13, 29)  # odd dims, 13 rows cycle all 5 filters
+    got = decode_png(encode_png(img, 0))
+    assert got.shape == (13, 29)
+    assert np.array_equal(got, img.astype(np.float64))
+
+
+def test_rgb_roundtrip():
+    h, w = 11, 17
+    img = np.stack(
+        [_gradient(h, w), _gradient(h, w)[::-1], np.full((h, w), 64)], axis=-1
+    )
+    got = decode_png(encode_png(img, 2))
+    assert got.shape == (h, w, 3)
+    assert np.array_equal(got, img.astype(np.float64))
+
+
+def test_rgba_and_gray_alpha():
+    h, w = 9, 9
+    rgba = np.stack(
+        [_gradient(h, w)] * 3 + [np.full((h, w), 200)], axis=-1
+    )
+    got = decode_png(encode_png(rgba, 6))
+    assert got.shape == (h, w, 4)
+    assert np.array_equal(got, rgba.astype(np.float64))
+    ga = np.stack([_gradient(h, w), np.full((h, w), 128)], axis=-1)
+    gray = decode_png_gray(encode_png(ga, 4))
+    assert np.array_equal(gray, _gradient(h, w).astype(np.float64))
+
+
+def test_palette_roundtrip():
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]])
+    idx = (_gradient(10, 10) % 4).astype(np.uint8)
+    got = decode_png(encode_png(idx, 3, palette=pal))
+    assert got.shape == (10, 10, 3)
+    assert np.array_equal(got, pal[idx].astype(np.float64))
+
+
+def test_luma_helper():
+    h, w = 8, 8
+    red = np.zeros((h, w, 3), dtype=np.uint8)
+    red[..., 0] = 255
+    gray = decode_png_gray(encode_png(red, 2))
+    assert np.allclose(gray, 0.299 * 255)
+
+
+def test_single_filter_paths_exact():
+    img = _gradient(6, 16)
+    for f in range(5):
+        got = decode_png(encode_png(img, 0, filters=[f] * 6))
+        assert np.array_equal(got, img.astype(np.float64)), f"filter {f}"
+
+
+def test_malformed_and_unsupported():
+    img = _gradient(8, 8)
+    data = encode_png(img, 0)
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"NOPE" + data[4:])
+    # 16-bit depth flag -> honest NotImplementedError
+    deep = bytearray(data)
+    ihdr_at = data.index(b"IHDR")
+    deep[ihdr_at + 12] = 16  # bit-depth byte
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_png(bytes(deep))
+    # interlace flag -> honest NotImplementedError
+    inter = bytearray(data)
+    inter[ihdr_at + 16] = 1
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        decode_png(bytes(inter))
+    # truncated IDAT -> ValueError
+    with pytest.raises(ValueError):
+        decode_png(data[: len(data) - 20])
+    # corrupt zlib stream (bad Adler-32) -> ValueError, not raw zlib.error
+    idat_at = data.index(b"IDAT")
+    bad = bytearray(data)
+    bad[idat_at + 4 + 6] ^= 0xFF  # flip a byte inside the deflate stream
+    with pytest.raises(ValueError, match="zlib"):
+        decode_png(bytes(bad))
+
+
+def test_multimodal_stage_decodes_png(spark):
+    """A real PNG flows through the Arrow feature stage with exact
+    quadrant features, like the JPEG tier."""
+    from ocrd_odem_spark.functions import multimodal
+
+    if multimodal.HAS_PIL:
+        pytest.skip("PIL present; numpy png tier shadowed")
+    img = np.zeros((16, 16), dtype=np.uint8)
+    img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = 40, 80, 120, 200
+    payload = encode_png(img, 0)
+    meta = {"width": 16, "height": 16, "dpi": None,
+            "n_bytes": len(payload), "duration_ms": None}
+    media = spark.createDataFrame(
+        [("png1", "d1", "r1", "image/png", bytearray(payload), meta)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    got = multimodal.extract_image_features(media).collect()[0]
+    assert got["decode_error"] is None
+    assert [round(v * 255, 0) for v in got["feat"]] == [40.0, 80.0, 120.0, 200.0]
