@@ -80,6 +80,13 @@ def run_leg(cores: int, replicate: int = 96) -> dict:
 #                              absolute vs the consensus band
 N8_BAND = (7000.0, 12100.0)
 N32_BAND = (25000.0, 42000.0)
+# (2,8) consensus bands, PROMOTED round 5 after 23 recorded observations:
+# clean n2 legs read 3.0-4.6k docs/s, clean n8 legs >= 12k.  Sub-3k n2
+# legs pair with nonphysical eff > 1 (the n2 leg lost DRAM to a neighbor
+# the way mode-(c) inflates n8 at (8,32)); zero-steal n8 legs at 7-11k
+# are the mode-(d) neighbor-DRAM signature at this level.
+N2_BAND = (3000.0, 4600.0)
+N8_HI_FLOOR = 12000.0
 STEAL_N8_MAX = 5.0
 STEAL_N32_MAX = 9.0
 NO_STEAL_LOAD_GATE = 1.0  # pre-steal-column records: idle-start or reject
@@ -100,14 +107,10 @@ def verdict(rec: dict) -> tuple[bool, list[str]]:
         if rec["eff_8_32"] > 1.05:
             reasons.append("eff_nonphysical")
         if rec.get("levels") == [2, 8]:
-            # provisional (2,8) consensus bands (few observations so far):
-            # idle-host n2 reads ~3.7-4.2k, n8 ~14.4k; a zero-steal hi leg
-            # at 8k is the same mode-(d) neighbor-DRAM signature seen at
-            # (8,32) — identifiable only from the depressed absolute
-            if not (3000.0 <= rec["n8"] <= 4600.0):
-                reasons.append("n2_outside_band_provisional")
-            if rec["n32"] < 12000.0:
-                reasons.append("n8_depressed_vs_consensus_provisional")
+            if not (N2_BAND[0] <= rec["n8"] <= N2_BAND[1]):
+                reasons.append("n2_outside_band")
+            if rec["n32"] < N8_HI_FLOOR:
+                reasons.append("n8_depressed_vs_consensus")
         return (not reasons), reasons
     n8, n32 = rec["n8"], rec["n32"]
     s8 = rec.get("steal_pct_n8_leg")
