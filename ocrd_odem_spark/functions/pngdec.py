@@ -1,11 +1,13 @@
 """Minimal PNG decoder in pure numpy + stdlib zlib — the second compressed
 tier of the multimodal decode stack (``multimodal._decode_raw_gray``).
 
-Scope, honestly stated: 8-bit samples, color types 0 (gray), 2 (RGB),
-3 (palette), 4 (gray+alpha), 6 (RGBA), all five scanline filters
-(None/Sub/Up/Average/Paeth), non-interlaced only.  16-bit samples,
-sub-byte depths and Adam7 interlacing raise ``NotImplementedError`` and
-land on the ``decode_error`` data channel like every other codec gap.
+Scope, honestly stated: color types 0 (gray), 2 (RGB), 3 (palette),
+4 (gray+alpha), 6 (RGBA) at every legal bit depth — 1/2/4-bit packed
+samples (bitonal archive scans!), 8-bit, and 16-bit (scaled to the
+0-255 float range) — with all five scanline filters
+(None/Sub/Up/Average/Paeth), non-interlaced only.  Adam7 interlacing
+raises ``NotImplementedError`` and lands on the ``decode_error`` data
+channel like every other codec gap.
 Reference tie-in: the reference's workers decode page images through PIL
 (``lib/odem/processing/image.py:37-54``); together with
 ``functions/jpegdec.py`` this keeps real pixel decode working for the
@@ -72,10 +74,13 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("nonstandard compression/filter method")
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG needs a codec library")
-    if depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG unsupported")
     if ct not in _CHANNELS:
         raise ValueError(f"invalid PNG color type {ct}")
+    valid_depths = (1, 2, 4, 8, 16) if ct == 0 else (
+        (1, 2, 4, 8) if ct == 3 else (8, 16)
+    )
+    if depth not in valid_depths:
+        raise ValueError(f"invalid bit depth {depth} for color type {ct}")
     if ct == 3 and palette is None:
         raise ValueError("palette color type without PLTE")
     nch = _CHANNELS[ct]
@@ -84,7 +89,10 @@ def decode_png(data: bytes) -> np.ndarray:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:  # truncated/corrupt stream or bad Adler-32
         raise ValueError(f"corrupt PNG zlib stream: {exc}") from None
-    stride = w * nch
+    # scanlines are byte-padded; the filter unit (spec: "bpp") is the
+    # pixel width in WHOLE bytes, floored to 1 for sub-byte depths
+    stride = (w * nch * depth + 7) // 8
+    fu = max(1, (nch * depth) // 8)
     if len(raw) != h * (stride + 1):
         raise ValueError("truncated image data")
 
@@ -102,13 +110,13 @@ def decode_png(data: bytes) -> np.ndarray:
         elif f in (1, 3, 4):  # Sub / Average / Paeth — sequential in x
             cur = np.zeros(stride, dtype=np.uint8)
             for x in range(stride):
-                a = int(cur[x - nch]) if x >= nch else 0
+                a = int(cur[x - fu]) if x >= fu else 0
                 if f == 1:
                     v = line[x] + a
                 elif f == 3:
                     v = line[x] + ((a + int(prev[x])) >> 1)
                 else:
-                    c = int(prev[x - nch]) if x >= nch else 0
+                    c = int(prev[x - fu]) if x >= fu else 0
                     v = line[x] + _paeth(a, int(prev[x]), c)
                 cur[x] = v & 0xFF
         else:
@@ -116,9 +124,26 @@ def decode_png(data: bytes) -> np.ndarray:
         out[y] = cur
         prev = cur
 
-    px = out.reshape(h, w, nch).astype(np.float64)
-    if ct == 3:
-        return palette[out.reshape(h, w)].astype(np.float64)
+    if depth == 16:  # big-endian sample pairs -> 0-255 float scale
+        px = (
+            out.reshape(h, stride)
+            .view(">u2")
+            .reshape(h, w, nch)
+            .astype(np.float64)
+            / 257.0
+        )
+    elif depth < 8:  # MSB-first packed samples (gray or palette indices)
+        bits = np.unpackbits(out, axis=1)[:, : w * depth]
+        samples = bits.reshape(h, w, depth) @ (
+            1 << np.arange(depth - 1, -1, -1)
+        )
+        if ct == 3:
+            return palette[samples].astype(np.float64)
+        px = (samples * (255.0 / ((1 << depth) - 1)))[..., None]
+    else:
+        px = out.reshape(h, w, nch).astype(np.float64)
+        if ct == 3:
+            return palette[out.reshape(h, w)].astype(np.float64)
     if nch == 1:
         return px[..., 0]
     return px

@@ -41,15 +41,28 @@ def encode_png(
     color_type: int,
     filters=None,
     palette: np.ndarray | None = None,
+    depth: int = 8,
 ) -> bytes:
     """Independent PNG encoder: ``px`` is (H, W) sample indices/gray or
-    (H, W, C) uint8; ``filters`` picks the per-row filter (default: cycle
-    through all five so every unfilter path is exercised)."""
-    px = px.astype(np.uint8)
+    (H, W, C); ``filters`` picks the per-row filter (default: cycle
+    through all five so every unfilter path is exercised).  ``depth``
+    supports 1/2/4 (packed MSB-first), 8, and 16 (big-endian)."""
     h, w = px.shape[:2]
     nch = 1 if px.ndim == 2 else px.shape[2]
-    flat = px.reshape(h, w * nch).astype(np.int32)
-    stride = w * nch
+    if depth == 16:
+        wide = px.astype(">u2").reshape(h, w * nch)
+        flat = np.frombuffer(wide.tobytes(), np.uint8).reshape(h, -1)
+    elif depth < 8:
+        idx = px.astype(np.uint8).reshape(h, w)
+        bits = (
+            (idx[..., None] >> np.arange(depth - 1, -1, -1)) & 1
+        ).reshape(h, w * depth)
+        flat = np.packbits(bits, axis=1)  # pads the last byte with zeros
+    else:
+        flat = px.astype(np.uint8).reshape(h, w * nch)
+    flat = flat.astype(np.int32)
+    stride = flat.shape[1]
+    fu = max(1, (nch * depth) // 8)
     if filters is None:
         filters = [(y % 5) for y in range(h)]
     raw = bytearray()
@@ -61,25 +74,25 @@ def encode_png(
             enc = cur.copy()
         elif f == 1:  # Sub
             enc = cur.copy()
-            enc[nch:] = cur[nch:] - cur[:-nch]
+            enc[fu:] = cur[fu:] - cur[:-fu]
         elif f == 2:  # Up
             enc = cur - prev
         elif f == 3:  # Average
             left = np.zeros(stride, dtype=np.int32)
-            left[nch:] = cur[:-nch]
+            left[fu:] = cur[:-fu]
             enc = cur - ((left + prev) >> 1)
         else:  # Paeth
             enc = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
-                a = int(cur[x - nch]) if x >= nch else 0
-                c = int(prev[x - nch]) if x >= nch else 0
+                a = int(cur[x - fu]) if x >= fu else 0
+                c = int(prev[x - fu]) if x >= fu else 0
                 enc[x] = cur[x] - _paeth(a, int(prev[x]), c)
         raw.append(f)
         raw += bytes((enc & 0xFF).astype(np.uint8))
         prev = cur
     out = bytearray(b"\x89PNG\r\n\x1a\n")
     out += _chunk(
-        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
     )
     if palette is not None:
         out += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
@@ -151,11 +164,11 @@ def test_malformed_and_unsupported():
     data = encode_png(img, 0)
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"NOPE" + data[4:])
-    # 16-bit depth flag -> honest NotImplementedError
+    # illegal depth flag -> ValueError (16-bit is SUPPORTED now)
     deep = bytearray(data)
     ihdr_at = data.index(b"IHDR")
-    deep[ihdr_at + 12] = 16  # bit-depth byte
-    with pytest.raises(NotImplementedError, match="16-bit"):
+    deep[ihdr_at + 12] = 3  # bit-depth byte: 3 is never legal
+    with pytest.raises(ValueError, match="invalid bit depth"):
         decode_png(bytes(deep))
     # interlace flag -> honest NotImplementedError
     inter = bytearray(data)
@@ -192,3 +205,48 @@ def test_multimodal_stage_decodes_png(spark):
     got = multimodal.extract_image_features(media).collect()[0]
     assert got["decode_error"] is None
     assert [round(v * 255, 0) for v in got["feat"]] == [40.0, 80.0, 120.0, 200.0]
+
+
+def test_bitonal_1bit_roundtrip():
+    """1-bit packed gray — the bitonal archive-scan format — decodes to
+    exact 0/255, including odd widths whose last byte is padded."""
+    img = (_gradient(9, 21) % 2).astype(np.uint8)  # 21 px = 2.625 bytes/row
+    got = decode_png(encode_png(img, 0, depth=1))
+    assert got.shape == (9, 21)
+    assert np.array_equal(got, img * 255.0)
+
+
+def test_2bit_4bit_gray_roundtrip():
+    for depth in (2, 4):
+        hi = (1 << depth) - 1
+        img = (_gradient(7, 13) % (hi + 1)).astype(np.uint8)
+        got = decode_png(encode_png(img, 0, depth=depth))
+        assert np.array_equal(got, img * (255.0 / hi)), f"depth {depth}"
+
+
+def test_4bit_palette_roundtrip():
+    pal = np.array([[i * 16, 255 - i * 16, i] for i in range(16)])
+    idx = (_gradient(6, 11) % 16).astype(np.uint8)
+    got = decode_png(encode_png(idx, 3, palette=pal, depth=4))
+    assert got.shape == (6, 11, 3)
+    assert np.array_equal(got, pal[idx].astype(np.float64))
+
+
+def test_16bit_gray_and_rgb_roundtrip():
+    img16 = (_gradient(8, 10).astype(np.uint16) * 257)  # exact /257 inverse
+    got = decode_png(encode_png(img16, 0, depth=16))
+    assert np.array_equal(got, _gradient(8, 10).astype(np.float64))
+    rgb16 = np.stack([img16, img16[::-1], np.full((8, 10), 65535)], axis=-1)
+    got = decode_png(encode_png(rgb16, 2, depth=16))
+    assert got.shape == (8, 10, 3)
+    assert np.allclose(got[..., 2], 255.0)
+    assert np.array_equal(got[..., 0], _gradient(8, 10).astype(np.float64))
+
+
+def test_subbyte_filters_use_one_byte_unit():
+    """Sub/Average/Paeth on packed rows operate on BYTES (spec: bpp
+    floors to 1) — a same-value column image exercises nonzero deltas."""
+    img = np.tile((np.arange(24) % 2).astype(np.uint8), (10, 1))
+    for f in range(5):
+        got = decode_png(encode_png(img, 0, depth=1, filters=[f] * 10))
+        assert np.array_equal(got, img * 255.0), f"filter {f}"
