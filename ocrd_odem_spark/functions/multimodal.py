@@ -91,13 +91,13 @@ def _decode_raw_gray(payload: bytes):
 
     Supports binary PPM (P6, maxval 255), 24-bit uncompressed BMP, JPEG —
     baseline SOF0/SOF1 AND progressive SOF2, the two formats that cover
-    real-world scans (see ``functions/jpegdec.py``) — and PNG at every
-    legal bit depth (1/2/4-bit bitonal scans, 8- and 16-bit
-    gray/RGB/RGBA/palette, all scanline filters;
+    real-world scans (see ``functions/jpegdec.py``) — and the complete
+    static-PNG format (1/2/4-bit bitonal scans, 8- and 16-bit
+    gray/RGB/RGBA/palette, all scanline filters, Adam7 interlace;
     ``functions/pngdec.py``), so real pixel decode works even in
     containers without PIL.  Raises ValueError on malformed input,
     NotImplementedError on formats that still need a codec
-    (arithmetic-coded JPEG, Adam7-interlaced PNG, TIFF-compressed).
+    (arithmetic-coded JPEG, TIFF-compressed).
     """
     import numpy as np
 

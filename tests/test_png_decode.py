@@ -36,19 +36,15 @@ def _paeth(a, b, c):
     return c
 
 
-def encode_png(
-    px: np.ndarray,
-    color_type: int,
-    filters=None,
-    palette: np.ndarray | None = None,
-    depth: int = 8,
-) -> bytes:
-    """Independent PNG encoder: ``px`` is (H, W) sample indices/gray or
-    (H, W, C); ``filters`` picks the per-row filter (default: cycle
-    through all five so every unfilter path is exercised).  ``depth``
-    supports 1/2/4 (packed MSB-first), 8, and 16 (big-endian)."""
+_ADAM7 = [
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+]
+
+
+def _pack_rows(px: np.ndarray, nch: int, depth: int) -> np.ndarray:
+    """(H, W[, C]) samples -> (H, stride) scanline bytes as int32."""
     h, w = px.shape[:2]
-    nch = 1 if px.ndim == 2 else px.shape[2]
     if depth == 16:
         wide = px.astype(">u2").reshape(h, w * nch)
         flat = np.frombuffer(wide.tobytes(), np.uint8).reshape(h, -1)
@@ -60,11 +56,12 @@ def encode_png(
         flat = np.packbits(bits, axis=1)  # pads the last byte with zeros
     else:
         flat = px.astype(np.uint8).reshape(h, w * nch)
-    flat = flat.astype(np.int32)
-    stride = flat.shape[1]
-    fu = max(1, (nch * depth) // 8)
-    if filters is None:
-        filters = [(y % 5) for y in range(h)]
+    return flat.astype(np.int32)
+
+
+def _filter_stream(flat: np.ndarray, fu: int, filters) -> bytearray:
+    """Apply per-row filters to packed scanlines -> raw stream bytes."""
+    h, stride = flat.shape
     raw = bytearray()
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
@@ -90,9 +87,44 @@ def encode_png(
         raw.append(f)
         raw += bytes((enc & 0xFF).astype(np.uint8))
         prev = cur
+    return raw
+
+
+def encode_png(
+    px: np.ndarray,
+    color_type: int,
+    filters=None,
+    palette: np.ndarray | None = None,
+    depth: int = 8,
+    interlace: int = 0,
+) -> bytes:
+    """Independent PNG encoder: ``px`` is (H, W) sample indices/gray or
+    (H, W, C); ``filters`` picks the per-row filter (default: cycle
+    through all five so every unfilter path is exercised).  ``depth``
+    supports 1/2/4 (packed MSB-first), 8, and 16 (big-endian);
+    ``interlace=1`` writes Adam7 passes, each independently filtered."""
+    h, w = px.shape[:2]
+    nch = 1 if px.ndim == 2 else px.shape[2]
+    fu = max(1, (nch * depth) // 8)
+    if interlace:
+        raw = bytearray()
+        for x0, dx, y0, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            flat = _pack_rows(sub, nch, depth)
+            raw += _filter_stream(
+                flat, fu, [(y % 5) for y in range(len(flat))]
+            )
+    else:
+        flat = _pack_rows(px, nch, depth)
+        if filters is None:
+            filters = [(y % 5) for y in range(h)]
+        raw = _filter_stream(flat, fu, filters)
     out = bytearray(b"\x89PNG\r\n\x1a\n")
     out += _chunk(
-        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+        b"IHDR",
+        struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace),
     )
     if palette is not None:
         out += _chunk(b"PLTE", palette.astype(np.uint8).tobytes())
@@ -170,10 +202,15 @@ def test_malformed_and_unsupported():
     deep[ihdr_at + 12] = 3  # bit-depth byte: 3 is never legal
     with pytest.raises(ValueError, match="invalid bit depth"):
         decode_png(bytes(deep))
-    # interlace flag -> honest NotImplementedError
+    # interlace byte beyond Adam7 -> ValueError
     inter = bytearray(data)
+    inter[ihdr_at + 16] = 2
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(bytes(inter))
+    # flipping a NON-interlaced stream's flag to Adam7 makes the stream
+    # length wrong for the seven-pass layout -> truncation error
     inter[ihdr_at + 16] = 1
-    with pytest.raises(NotImplementedError, match="interlaced"):
+    with pytest.raises(ValueError):
         decode_png(bytes(inter))
     # truncated IDAT -> ValueError
     with pytest.raises(ValueError):
@@ -250,3 +287,25 @@ def test_subbyte_filters_use_one_byte_unit():
     for f in range(5):
         got = decode_png(encode_png(img, 0, depth=1, filters=[f] * 10))
         assert np.array_equal(got, img * 255.0), f"filter {f}"
+
+
+def test_adam7_interlaced_roundtrip():
+    """Adam7 passes reassemble pixel-exactly — odd dims exercise empty
+    and truncated passes; every pass cycles the five filters."""
+    for h, w in [(13, 29), (8, 8), (1, 1), (3, 2), (7, 1)]:
+        img = _gradient(h, w)
+        got = decode_png(encode_png(img, 0, interlace=1))
+        assert got.shape == (h, w)
+        assert np.array_equal(got, img.astype(np.float64)), (h, w)
+
+
+def test_adam7_rgb_and_subbyte():
+    h, w = 10, 11
+    rgb = np.stack(
+        [_gradient(h, w), _gradient(h, w)[::-1], np.full((h, w), 9)], axis=-1
+    )
+    got = decode_png(encode_png(rgb, 2, interlace=1))
+    assert np.array_equal(got, rgb.astype(np.float64))
+    bitonal = (_gradient(h, w) % 2).astype(np.uint8)
+    got = decode_png(encode_png(bitonal, 0, depth=1, interlace=1))
+    assert np.array_equal(got, bitonal * 255.0)
