@@ -95,9 +95,12 @@ def _decode_raw_gray(payload: bytes):
     static-PNG format (1/2/4-bit bitonal scans, 8- and 16-bit
     gray/RGB/RGBA/palette, all scanline filters, Adam7 interlace;
     ``functions/pngdec.py``), so real pixel decode works even in
-    containers without PIL.  Raises ValueError on malformed input,
-    NotImplementedError on formats that still need a codec
-    (arithmetic-coded JPEG, TIFF-compressed).
+    containers without PIL, plus baseline TIFF — the archive master
+    format — in both byte orders with uncompressed or PackBits strips
+    (bilevel/gray/RGB/palette, 1/8/16-bit; ``functions/tiffdec.py``).
+    Raises ValueError on malformed input, NotImplementedError on
+    formats that still need a codec (arithmetic-coded JPEG,
+    LZW/CCITT/JPEG-compressed or tiled TIFF).
     """
     import numpy as np
 
@@ -109,6 +112,10 @@ def _decode_raw_gray(payload: bytes):
         from .pngdec import decode_png_gray
 
         return decode_png_gray(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiffdec import decode_tiff_gray
+
+        return decode_tiff_gray(payload)
 
     luma = (0.299, 0.587, 0.114)
     if payload[:2] == b"P6":

@@ -1,0 +1,197 @@
+"""Minimal baseline-TIFF decoder in pure numpy — the fourth compressed
+tier of the multimodal decode stack (``multimodal._decode_raw_gray``).
+
+TIFF is the master format of digitised-archive holdings (the reference's
+corpus stores page scans as TIFF masters; its workers decode them through
+PIL, ``lib/odem/processing/image.py:37-54``), so containers without a
+codec library still need real pixel access to them.
+
+Scope, honestly stated: single-image baseline TIFF, both byte orders,
+strip-organised (tiles raise), with
+
+* compression 1 (none) and 32773 (PackBits),
+* photometric 0/1 (bilevel+gray, WhiteIsZero inverted), 2 (RGB),
+  3 (palette via ColorMap),
+* 1-bit packed bilevel rows, 8-bit, and 16-bit samples.
+
+LZW, CCITT G3/G4 and JPEG-in-TIFF land on the ``decode_error`` channel
+via ``NotImplementedError`` like every other codec gap.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_COMPRESSION_NONE = 1
+_COMPRESSION_PACKBITS = 32773
+_UNSUPPORTED_COMPRESSION = {
+    2: "CCITT RLE", 3: "CCITT G3", 4: "CCITT G4", 5: "LZW",
+    6: "old JPEG", 7: "JPEG",
+}
+
+# tag ids
+_T_WIDTH, _T_HEIGHT = 256, 257
+_T_BITS, _T_COMPRESSION, _T_PHOTOMETRIC = 258, 259, 262
+_T_STRIP_OFFSETS, _T_SAMPLES, _T_ROWS_PER_STRIP = 273, 277, 278
+_T_STRIP_COUNTS, _T_COLORMAP = 279, 320
+_T_TILE_WIDTH, _T_TILE_LENGTH = 322, 323
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i"}
+
+
+def _read_ifd(data: bytes, endian: str):
+    """Parse the first IFD -> {tag: [values]}."""
+    (off,) = struct.unpack(endian + "I", data[4:8])
+    if off + 2 > len(data):
+        raise ValueError("truncated TIFF: IFD offset out of range")
+    (n,) = struct.unpack(endian + "H", data[off : off + 2])
+    tags: dict[int, list] = {}
+    for i in range(n):
+        base = off + 2 + i * 12
+        ent = data[base : base + 12]
+        if len(ent) != 12:
+            raise ValueError("truncated TIFF IFD")
+        tag, typ, cnt = struct.unpack(endian + "HHI", ent[:8])
+        if typ not in _TYPE_SIZES:
+            continue  # private/unknown type: skip per spec
+        nbytes = _TYPE_SIZES[typ] * cnt
+        raw = ent[8:12] if nbytes <= 4 else None
+        if raw is None:
+            (voff,) = struct.unpack(endian + "I", ent[8:12])
+            raw = data[voff : voff + nbytes]
+            if len(raw) != nbytes:
+                raise ValueError(f"truncated TIFF value for tag {tag}")
+        if typ in _TYPE_FMT:
+            vals = list(
+                struct.unpack(endian + _TYPE_FMT[typ] * cnt, raw[:nbytes])
+            )
+        elif typ in (5, 10):  # rationals
+            parts = struct.unpack(endian + ("I" if typ == 5 else "i") * 2 * cnt, raw)
+            vals = [parts[2 * k] / (parts[2 * k + 1] or 1) for k in range(cnt)]
+        else:
+            vals = [raw[:nbytes]]
+        tags[tag] = vals
+    return tags
+
+
+def _unpackbits(src: bytes, expect: int) -> bytes:
+    """Apple PackBits decode to exactly ``expect`` bytes."""
+    out = bytearray()
+    i = 0
+    while i < len(src) and len(out) < expect:
+        n = src[i]
+        i += 1
+        if n < 128:  # literal run of n+1
+            out += src[i : i + n + 1]
+            if i + n + 1 > len(src):
+                raise ValueError("truncated PackBits literal")
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if i >= len(src):
+                raise ValueError("truncated PackBits repeat")
+            out += bytes([src[i]]) * (257 - n)
+            i += 1
+        # n == 128: noop
+    if len(out) < expect:
+        raise ValueError("PackBits underrun")
+    return bytes(out[:expect])
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """Decode TIFF bytes -> float64 array: (H, W) gray or (H, W, C)."""
+    if data[:4] == b"II*\x00":
+        endian = "<"
+    elif data[:4] == b"MM\x00*":
+        endian = ">"
+    else:
+        raise ValueError("not a TIFF payload (missing magic)")
+    tags = _read_ifd(data, endian)
+    if _T_TILE_WIDTH in tags or _T_TILE_LENGTH in tags:
+        raise NotImplementedError("tiled TIFF needs a codec library")
+    try:
+        w = tags[_T_WIDTH][0]
+        h = tags[_T_HEIGHT][0]
+        offsets = tags[_T_STRIP_OFFSETS]
+        counts = tags[_T_STRIP_COUNTS]
+    except KeyError as exc:
+        raise ValueError(f"TIFF missing required tag {exc}") from None
+    comp = tags.get(_T_COMPRESSION, [1])[0]
+    photo = tags.get(_T_PHOTOMETRIC, [1])[0]
+    spp = tags.get(_T_SAMPLES, [1])[0]
+    bits = tags.get(_T_BITS, [1] * spp)
+    rows_per_strip = tags.get(_T_ROWS_PER_STRIP, [h])[0] or h
+    if len(set(bits)) != 1:
+        raise NotImplementedError("mixed per-sample bit depths")
+    depth = bits[0]
+    if depth not in (1, 8, 16):
+        raise NotImplementedError(f"{depth}-bit TIFF samples unsupported")
+    if comp in _UNSUPPORTED_COMPRESSION:
+        raise NotImplementedError(
+            f"TIFF compression {_UNSUPPORTED_COMPRESSION[comp]} needs a "
+            "codec library"
+        )
+    if comp not in (_COMPRESSION_NONE, _COMPRESSION_PACKBITS):
+        raise ValueError(f"unknown TIFF compression {comp}")
+    if len(offsets) != len(counts):
+        raise ValueError("strip offset/count mismatch")
+
+    # rows are byte-padded per spec; strips concatenate whole rows
+    row_bytes = (w * spp * depth + 7) // 8
+    raw = bytearray()
+    remaining = h
+    for k, (o, c) in enumerate(zip(offsets, counts)):
+        seg = data[o : o + c]
+        if len(seg) != c:
+            raise ValueError("truncated TIFF strip")
+        n_rows = min(rows_per_strip, remaining)
+        expect = n_rows * row_bytes
+        if comp == _COMPRESSION_PACKBITS:
+            seg = _unpackbits(seg, expect)
+        elif len(seg) < expect:
+            raise ValueError("TIFF strip shorter than its rows")
+        raw += seg[:expect]
+        remaining -= n_rows
+    if remaining > 0:
+        raise ValueError("TIFF strips cover fewer rows than ImageLength")
+
+    grid = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, row_bytes)
+    if depth == 1:
+        bits_arr = np.unpackbits(grid, axis=1)[:, :w]
+        px = bits_arr.astype(np.float64) * 255.0
+        if photo == 0:  # WhiteIsZero: 0 = white
+            px = 255.0 - px
+        return px
+    if depth == 16:
+        samples = (
+            grid.view(endian + "u2").reshape(h, w, spp).astype(np.float64)
+            / 257.0
+        )
+    else:
+        samples = grid.reshape(h, w, spp).astype(np.float64)
+    if photo == 3:  # palette: ColorMap holds 16-bit R,G,B planes
+        cmap = tags.get(_T_COLORMAP)
+        if cmap is None:
+            raise ValueError("palette TIFF without ColorMap")
+        n = 1 << depth
+        table = np.array(cmap, dtype=np.float64).reshape(3, n).T / 257.0
+        return table[samples[..., 0].astype(np.int64)]
+    if photo == 0:  # inverted gray
+        samples = 255.0 - samples
+    if spp == 1:
+        return samples[..., 0]
+    return samples
+
+
+def decode_tiff_gray(data: bytes) -> np.ndarray:
+    """Decode to the 2D luma plane the feature stage consumes (alpha/extra
+    samples dropped; palette resolves to RGB first)."""
+    img = decode_tiff(data)
+    if img.ndim == 2:
+        return img
+    if img.shape[2] < 3:
+        return img[..., 0]
+    rgb = img[..., :3]
+    return rgb @ np.array([0.299, 0.587, 0.114])
