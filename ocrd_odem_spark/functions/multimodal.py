@@ -96,11 +96,13 @@ def _decode_raw_gray(payload: bytes):
     gray/RGB/RGBA/palette, all scanline filters, Adam7 interlace;
     ``functions/pngdec.py``), so real pixel decode works even in
     containers without PIL, plus baseline TIFF — the archive master
-    format — in both byte orders with uncompressed or PackBits strips
+    format — in both byte orders with uncompressed, PackBits, LZW
+    (early-change code widths, cross-checked against system libtiff)
+    or Deflate strips and the horizontal predictor
     (bilevel/gray/RGB/palette, 1/8/16-bit; ``functions/tiffdec.py``).
     Raises ValueError on malformed input, NotImplementedError on
     formats that still need a codec (arithmetic-coded JPEG,
-    LZW/CCITT/JPEG-compressed or tiled TIFF).
+    CCITT/JPEG-compressed or tiled TIFF).
     """
     import numpy as np
 

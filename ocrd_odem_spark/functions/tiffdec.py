@@ -9,25 +9,30 @@ codec library still need real pixel access to them.
 Scope, honestly stated: single-image baseline TIFF, both byte orders,
 strip-organised (tiles raise), with
 
-* compression 1 (none) and 32773 (PackBits),
+* compression 1 (none), 5 (LZW with TIFF's early-change code widths),
+  8/32946 (Deflate via stdlib zlib) and 32773 (PackBits),
+* Predictor 2 (horizontal differencing) for 8- and 16-bit samples,
 * photometric 0/1 (bilevel+gray, WhiteIsZero inverted), 2 (RGB),
   3 (palette via ColorMap),
 * 1-bit packed bilevel rows, 8-bit, and 16-bit samples.
 
-LZW, CCITT G3/G4 and JPEG-in-TIFF land on the ``decode_error`` channel
+CCITT G3/G4 and JPEG-in-TIFF land on the ``decode_error`` channel
 via ``NotImplementedError`` like every other codec gap.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
 _COMPRESSION_NONE = 1
+_COMPRESSION_LZW = 5
+_COMPRESSION_DEFLATE = (8, 32946)  # Adobe + legacy code point
 _COMPRESSION_PACKBITS = 32773
 _UNSUPPORTED_COMPRESSION = {
-    2: "CCITT RLE", 3: "CCITT G3", 4: "CCITT G4", 5: "LZW",
+    2: "CCITT RLE", 3: "CCITT G3", 4: "CCITT G4",
     6: "old JPEG", 7: "JPEG",
 }
 
@@ -35,7 +40,7 @@ _UNSUPPORTED_COMPRESSION = {
 _T_WIDTH, _T_HEIGHT = 256, 257
 _T_BITS, _T_COMPRESSION, _T_PHOTOMETRIC = 258, 259, 262
 _T_STRIP_OFFSETS, _T_SAMPLES, _T_ROWS_PER_STRIP = 273, 277, 278
-_T_STRIP_COUNTS, _T_COLORMAP = 279, 320
+_T_STRIP_COUNTS, _T_PREDICTOR, _T_COLORMAP = 279, 317, 320
 _T_TILE_WIDTH, _T_TILE_LENGTH = 322, 323
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
@@ -100,6 +105,60 @@ def _unpackbits(src: bytes, expect: int) -> bytes:
     return bytes(out[:expect])
 
 
+def _lzw_decode(src: bytes, expect: int) -> bytes:
+    """TIFF-flavour LZW: MSB-first codes, 9→12-bit growth with the
+    early-change convention (width bumps when the table reaches
+    ``2^width - 1`` entries — one code earlier than vanilla LZW; the
+    threshold is pinned empirically against libtiff-written strips,
+    see ``tests/test_tiff_decode.py``)."""
+    clear_code, eoi_code = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    table = list(base)
+    width = 9
+    prev = None
+    pos = 0
+    total = len(src) * 8
+    while pos + width <= total and len(out) < expect:
+        b0, b1 = pos >> 3, (pos + width + 7) >> 3
+        chunk = int.from_bytes(src[b0:b1], "big")
+        code = (chunk >> (b1 * 8 - pos - width)) & ((1 << width) - 1)
+        pos += width
+        if code == eoi_code:
+            break
+        if code == clear_code:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code >= 256:
+                raise ValueError("corrupt LZW stream: non-literal first code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK: code references its own entry
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream: code beyond table")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+    if len(out) < expect:
+        raise ValueError("LZW strip underrun")
+    return bytes(out[:expect])
+
+
+def _undo_predictor(samples: np.ndarray, depth: int) -> np.ndarray:
+    """Predictor 2 (horizontal differencing): rows store per-sample
+    deltas; reconstruct by modular cumsum along the row."""
+    acc_dtype = np.uint8 if depth == 8 else np.uint16
+    return np.cumsum(samples, axis=1, dtype=acc_dtype)
+
+
 def decode_tiff(data: bytes) -> np.ndarray:
     """Decode TIFF bytes -> float64 array: (H, W) gray or (H, W, C)."""
     if data[:4] == b"II*\x00":
@@ -123,6 +182,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
     spp = tags.get(_T_SAMPLES, [1])[0]
     bits = tags.get(_T_BITS, [1] * spp)
     rows_per_strip = tags.get(_T_ROWS_PER_STRIP, [h])[0] or h
+    predictor = tags.get(_T_PREDICTOR, [1])[0]
     if len(set(bits)) != 1:
         raise NotImplementedError("mixed per-sample bit depths")
     depth = bits[0]
@@ -133,8 +193,16 @@ def decode_tiff(data: bytes) -> np.ndarray:
             f"TIFF compression {_UNSUPPORTED_COMPRESSION[comp]} needs a "
             "codec library"
         )
-    if comp not in (_COMPRESSION_NONE, _COMPRESSION_PACKBITS):
+    if comp not in (
+        _COMPRESSION_NONE,
+        _COMPRESSION_LZW,
+        _COMPRESSION_PACKBITS,
+    ) and comp not in _COMPRESSION_DEFLATE:
         raise ValueError(f"unknown TIFF compression {comp}")
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
+    if predictor == 2 and depth == 1:
+        raise ValueError("horizontal predictor on bilevel samples")
     if len(offsets) != len(counts):
         raise ValueError("strip offset/count mismatch")
 
@@ -150,6 +218,15 @@ def decode_tiff(data: bytes) -> np.ndarray:
         expect = n_rows * row_bytes
         if comp == _COMPRESSION_PACKBITS:
             seg = _unpackbits(seg, expect)
+        elif comp == _COMPRESSION_LZW:
+            seg = _lzw_decode(seg, expect)
+        elif comp in _COMPRESSION_DEFLATE:
+            try:
+                seg = zlib.decompress(seg)
+            except zlib.error as exc:
+                raise ValueError(f"bad TIFF deflate strip: {exc}") from None
+            if len(seg) < expect:
+                raise ValueError("deflate strip underrun")
         elif len(seg) < expect:
             raise ValueError("TIFF strip shorter than its rows")
         raw += seg[:expect]
@@ -165,12 +242,15 @@ def decode_tiff(data: bytes) -> np.ndarray:
             px = 255.0 - px
         return px
     if depth == 16:
-        samples = (
-            grid.view(endian + "u2").reshape(h, w, spp).astype(np.float64)
-            / 257.0
-        )
+        ints = grid.view(endian + "u2").reshape(h, w, spp)
+        if predictor == 2:
+            ints = _undo_predictor(ints, depth)
+        samples = ints.astype(np.float64) / 257.0
     else:
-        samples = grid.reshape(h, w, spp).astype(np.float64)
+        ints = grid.reshape(h, w, spp)
+        if predictor == 2:
+            ints = _undo_predictor(ints, depth)
+        samples = ints.astype(np.float64)
     if photo == 3:  # palette: ColorMap holds 16-bit R,G,B planes
         cmap = tags.get(_T_COLORMAP)
         if cmap is None:

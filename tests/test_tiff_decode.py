@@ -44,22 +44,83 @@ def _packbits(row: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw(data: bytes) -> bytes:
+    """Independent TIFF-LZW encoder (MSB-first, early change: code width
+    grows one step AFTER the decoder's threshold — validated against
+    system libtiff in the cross-check tests below)."""
+    out = bytearray()
+    acc = nbits = 0
+    width = 9
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    def fresh():
+        return {bytes([i]): i for i in range(256)}
+
+    table = fresh()
+    next_code = 258
+    emit(256)  # clear
+    prev = b""
+    for ch in data:
+        cur = prev + bytes([ch])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        table[cur] = next_code
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif next_code == 4094:  # table nearly full: restart
+            emit(256)
+            table = fresh()
+            next_code = 258
+            width = 9
+        prev = bytes([ch])
+    if prev:
+        emit(table[prev])
+    emit(257)  # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+_COMP_TAG = {"none": 1, "packbits": 32773, "lzw": 5, "deflate": 8}
+
+
 def encode_tiff(
     px: np.ndarray,
     endian: str = "<",
     depth: int = 8,
     photometric: int | None = None,
-    packbits: bool = False,
+    compression: str = "none",
+    predictor: int = 1,
     rows_per_strip: int | None = None,
     colormap: np.ndarray | None = None,
 ) -> bytes:
     """Independent baseline-TIFF writer: strip-organised, header ->
     strips -> IFD."""
+    import zlib
+
     h, w = px.shape[:2]
     spp = 1 if px.ndim == 2 else px.shape[2]
     if photometric is None:
         photometric = 2 if spp == 3 else 1
     rows_per_strip = rows_per_strip or h
+
+    if predictor == 2:  # horizontal differencing on the samples
+        wide = px.reshape(h, w, spp).astype(
+            np.uint8 if depth == 8 else np.uint16
+        )
+        px = np.concatenate(
+            [wide[:, :1], wide[:, 1:] - wide[:, :-1]], axis=1
+        ).reshape(px.shape)
 
     if depth == 1:
         bits = (px.astype(np.uint8).reshape(h, w) & 1)
@@ -72,10 +133,15 @@ def encode_tiff(
     else:
         rows = px.astype(np.uint8).reshape(h, w * spp)
 
+    squeeze = {
+        "none": lambda b: b,
+        "packbits": _packbits,
+        "lzw": _lzw,
+        "deflate": zlib.compress,
+    }[compression]
     strips = []
     for y0 in range(0, h, rows_per_strip):
-        seg = rows[y0 : y0 + rows_per_strip].tobytes()
-        strips.append(_packbits(seg) if packbits else seg)
+        strips.append(squeeze(rows[y0 : y0 + rows_per_strip].tobytes()))
 
     offsets = []
     pos = 8
@@ -97,12 +163,14 @@ def encode_tiff(
     add(256, 4, [w])
     add(257, 4, [h])
     add(258, 3, [depth] * spp)
-    add(259, 3, [32773 if packbits else 1])
+    add(259, 3, [_COMP_TAG[compression]])
     add(262, 3, [photometric])
     add(273, 4, offsets)
     add(277, 3, [spp])
     add(278, 4, [rows_per_strip])
     add(279, 4, [len(s) for s in strips])
+    if predictor != 1:
+        add(317, 3, [predictor])
     if colormap is not None:
         add(320, 3, list(colormap.T.reshape(-1).astype(int)))
 
@@ -162,7 +230,9 @@ def test_packbits_roundtrip():
     img = np.tile(
         np.concatenate([np.zeros(9), np.full(9, 200), np.arange(9)]), (8, 1)
     ).astype(np.uint8)
-    got = decode_tiff(encode_tiff(img, packbits=True, rows_per_strip=2))
+    got = decode_tiff(
+        encode_tiff(img, compression="packbits", rows_per_strip=2)
+    )
     assert np.array_equal(got, img.astype(np.float64))
 
 
@@ -194,6 +264,136 @@ def test_luma_helper():
     assert np.allclose(decode_tiff_gray(encode_tiff(blue)), 0.114 * 255)
 
 
+def test_lzw_roundtrip_all_code_widths():
+    """Big noisy image: the LZW table crosses 9->10->11->12 bits and hits
+    the 4094-entry restart; decode must stay exact throughout."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(60, 180)).astype(np.uint8)
+    got = decode_tiff(encode_tiff(img, compression="lzw"))
+    assert np.array_equal(got, img.astype(np.float64))
+
+
+def test_lzw_rgb_multistrip_both_endians():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(21, 17, 3)).astype(np.uint8)
+    for endian in ("<", ">"):
+        got = decode_tiff(
+            encode_tiff(img, endian=endian, compression="lzw",
+                        rows_per_strip=4)
+        )
+        assert np.array_equal(got, img.astype(np.float64)), endian
+
+
+def test_lzw_kwkwk_case():
+    """Runs of one byte force the code==len(table) (KwKwK) decode branch."""
+    img = np.zeros((4, 64), dtype=np.uint8)
+    got = decode_tiff(encode_tiff(img, compression="lzw"))
+    assert np.array_equal(got, img.astype(np.float64))
+
+
+def test_predictor2_lzw_and_deflate():
+    """Horizontal differencing (tag 317=2) undone by modular cumsum,
+    including wraparound deltas."""
+    rng = np.random.default_rng(13)
+    img = np.cumsum(
+        rng.integers(0, 7, size=(30, 50, 3)), axis=1
+    ).astype(np.uint8)  # smooth rows: the predictor's target case
+    for compression in ("lzw", "deflate"):
+        got = decode_tiff(
+            encode_tiff(img, compression=compression, predictor=2)
+        )
+        assert np.array_equal(got, img.astype(np.float64)), compression
+    # wraparound: 0 -> 255 delta is -1 mod 256
+    hard = np.tile(np.array([0, 255, 3, 250], dtype=np.uint8), (3, 5))
+    got = decode_tiff(encode_tiff(hard, compression="lzw", predictor=2))
+    assert np.array_equal(got, hard.astype(np.float64))
+
+
+def test_predictor2_16bit():
+    rng = np.random.default_rng(17)
+    img16 = (rng.integers(0, 256, size=(9, 12)) * 257).astype(np.uint16)
+    got = decode_tiff(
+        encode_tiff(img16, depth=16, compression="deflate", predictor=2)
+    )
+    assert np.array_equal(got, (img16 / 257.0).astype(np.float64))
+
+
+def test_deflate_roundtrip_legacy_code_point():
+    """Compression 32946 (old deflate) decodes like 8."""
+    img = _gradient(15, 22)
+    data = bytearray(encode_tiff(img, compression="deflate"))
+    at = data.index(struct.pack("<HHI", 259, 3, 1))
+    data[at + 8 : at + 12] = struct.pack("<I", 32946)
+    got = decode_tiff(bytes(data))
+    assert np.array_equal(got, img.astype(np.float64))
+
+
+def _libtiff():
+    import ctypes
+
+    try:
+        lib = ctypes.CDLL("libtiff.so.6")
+    except OSError:
+        return None
+    lib.TIFFOpen.restype = ctypes.c_void_p
+    lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.TIFFClose.argtypes = [ctypes.c_void_p]
+    lib.TIFFWriteScanline.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint16]
+    lib.TIFFReadScanline.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint16]
+    lib.TIFFSetErrorHandler(None)
+    lib.TIFFSetWarningHandler(None)
+    return lib
+
+
+@pytest.mark.skipif(_libtiff() is None, reason="system libtiff unavailable")
+def test_lzw_cross_checked_against_libtiff(tmp_path):
+    """Ground truth beyond round-tripping: system libtiff writes LZW
+    strips our decoder must read exactly, and reads strips our test
+    encoder wrote — pinning the early-change code-width convention
+    against the reference C implementation, both directions."""
+    import ctypes
+
+    lib = _libtiff()
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(64, 200)).astype(np.uint8)
+
+    # direction 1: libtiff writes (LZW + predictor), we decode
+    for predictor in (1, 2):
+        path = str(tmp_path / f"ref{predictor}.tif").encode()
+        t = lib.TIFFOpen(path, b"w")
+        assert t
+        sf = lambda tag, val: lib.TIFFSetField(
+            ctypes.c_void_p(t), ctypes.c_uint32(tag), ctypes.c_int(val))
+        for tag, val in ((256, 200), (257, 64), (258, 8), (259, 5),
+                         (262, 1), (277, 1), (278, 64), (284, 1)):
+            sf(tag, val)
+        if predictor == 2:
+            sf(317, 2)
+        for y in range(64):
+            assert lib.TIFFWriteScanline(
+                ctypes.c_void_p(t), img[y].tobytes(), y, 0) == 1
+        lib.TIFFClose(ctypes.c_void_p(t))
+        got = decode_tiff(open(path, "rb").read())
+        assert np.array_equal(got, img.astype(np.float64)), predictor
+
+    # direction 2: our independent encoder writes, libtiff decodes
+    mine = str(tmp_path / "mine.tif")
+    with open(mine, "wb") as fh:
+        fh.write(encode_tiff(img, compression="lzw"))
+    t = lib.TIFFOpen(mine.encode(), b"r")
+    assert t
+    buf = ctypes.create_string_buffer(200 + 16)
+    rows = []
+    for y in range(64):
+        assert lib.TIFFReadScanline(ctypes.c_void_p(t), buf, y, 0) == 1
+        rows.append(bytes(buf[:200]))
+    lib.TIFFClose(ctypes.c_void_p(t))
+    back = np.frombuffer(b"".join(rows), np.uint8).reshape(64, 200)
+    assert np.array_equal(back, img)
+
+
 def test_unsupported_and_malformed():
     img = _gradient(4, 4)
     data = encode_tiff(img)
@@ -219,7 +419,7 @@ def test_multimodal_stage_decodes_tiff(spark):
         pytest.skip("PIL present; numpy tiff tier shadowed")
     img = np.zeros((16, 16), dtype=np.uint8)
     img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = 10, 60, 110, 250
-    payload = encode_tiff(img, packbits=True)
+    payload = encode_tiff(img, compression="packbits")
     meta = {"width": 16, "height": 16, "dpi": None,
             "n_bytes": len(payload), "duration_ms": None}
     media = spark.createDataFrame(
