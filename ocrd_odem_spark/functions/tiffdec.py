@@ -9,15 +9,21 @@ codec library still need real pixel access to them.
 Scope, honestly stated: single-image baseline TIFF, both byte orders,
 strip-organised (tiles raise), with
 
-* compression 1 (none), 5 (LZW with TIFF's early-change code widths),
-  8/32946 (Deflate via stdlib zlib) and 32773 (PackBits),
+* compression 1 (none), 4 (CCITT G4/T.6 — the canonical bitonal
+  archive-scan codec, full 2D MMR with pass/horizontal/vertical modes
+  and the complete T.4 white/black/extended run tables), 5 (LZW with
+  TIFF's early-change code widths), 8/32946 (Deflate via stdlib zlib)
+  and 32773 (PackBits),
 * Predictor 2 (horizontal differencing) for 8- and 16-bit samples,
 * photometric 0/1 (bilevel+gray, WhiteIsZero inverted), 2 (RGB),
   3 (palette via ColorMap),
 * 1-bit packed bilevel rows, 8-bit, and 16-bit samples.
 
-CCITT G3/G4 and JPEG-in-TIFF land on the ``decode_error`` channel
-via ``NotImplementedError`` like every other codec gap.
+G4 and LZW are cross-checked bit-exactly against system libtiff (every
+MH run length 0..2560 individually, plus noise stress) in
+``tests/test_tiff_decode.py``.  CCITT G3 1D/RLE and JPEG-in-TIFF land
+on the ``decode_error`` channel via ``NotImplementedError`` like every
+other codec gap.
 """
 
 from __future__ import annotations
@@ -28,11 +34,12 @@ import zlib
 import numpy as np
 
 _COMPRESSION_NONE = 1
+_COMPRESSION_G4 = 4
 _COMPRESSION_LZW = 5
 _COMPRESSION_DEFLATE = (8, 32946)  # Adobe + legacy code point
 _COMPRESSION_PACKBITS = 32773
 _UNSUPPORTED_COMPRESSION = {
-    2: "CCITT RLE", 3: "CCITT G3", 4: "CCITT G4",
+    2: "CCITT RLE", 3: "CCITT G3",
     6: "old JPEG", 7: "JPEG",
 }
 
@@ -152,6 +159,174 @@ def _lzw_decode(src: bytes, expect: int) -> bytes:
     return bytes(out[:expect])
 
 
+# --- CCITT G4 (T.6) ---------------------------------------------------
+# Modified Huffman run tables from T.4 (terminating 0-63, makeup
+# 64-1728 per color, extended makeup 1792-2560 shared).  Every entry is
+# pinned empirically: tests sweep each run length through libtiff's G4
+# encoder and require bit-exact decode.
+
+_G4_WHITE_CODES = (
+    "00110101 000111 0111 1000 1011 1100 1110 1111 10011 10100 00111"
+    " 01000 001000 000011 110100 110101 101010 101011 0100111 0001100"
+    " 0001000 0010111 0000011 0000100 0101000 0101011 0010011 0100100"
+    " 0011000 00000010 00000011 00011010 00011011 00010010 00010011"
+    " 00010100 00010101 00010110 00010111 00101000 00101001 00101010"
+    " 00101011 00101100 00101101 00000100 00000101 00001010 00001011"
+    " 01010010 01010011 01010100 01010101 00100100 00100101 01011000"
+    " 01011001 01011010 01011011 01001010 01001011 00110010 00110011"
+    " 00110100"
+)
+_G4_WHITE_MAKEUP = (
+    "11011 10010 010111 0110111 00110110 00110111 01100100 01100101"
+    " 01101000 01100111 011001100 011001101 011010010 011010011"
+    " 011010100 011010101 011010110 011010111 011011000 011011001"
+    " 011011010 011011011 010011000 010011001 010011010 011000"
+    " 010011011"
+)
+_G4_BLACK_CODES = (
+    "0000110111 010 11 10 011 0011 0010 00011 000101 000100 0000100"
+    " 0000101 0000111 00000100 00000111 000011000 0000010111 0000011000"
+    " 0000001000 00001100111 00001101000 00001101100 00000110111"
+    " 00000101000 00000010111 00000011000 000011001010 000011001011"
+    " 000011001100 000011001101 000001101000 000001101001 000001101010"
+    " 000001101011 000011010010 000011010011 000011010100 000011010101"
+    " 000011010110 000011010111 000001101100 000001101101 000011011010"
+    " 000011011011 000001010100 000001010101 000001010110 000001010111"
+    " 000001100100 000001100101 000001010010 000001010011 000000100100"
+    " 000000110111 000000111000 000000100111 000000101000 000001011000"
+    " 000001011001 000000101011 000000101100 000001011010 000001100110"
+    " 000001100111"
+)
+_G4_BLACK_MAKEUP = (
+    "0000001111 000011001000 000011001001 000001011011 000000110011"
+    " 000000110100 000000110101 0000001101100 0000001101101 0000001001010"
+    " 0000001001011 0000001001100 0000001001101 0000001110010"
+    " 0000001110011 0000001110100 0000001110101 0000001110110"
+    " 0000001110111 0000001010010 0000001010011 0000001010100"
+    " 0000001010101 0000001011010 0000001011011 0000001100100"
+    " 0000001100101"
+)
+_G4_EXT_MAKEUP = (
+    "00000001000 00000001100 00000001101 000000010010 000000010011"
+    " 000000010100 000000010101 000000010110 000000010111 000000011100"
+    " 000000011101 000000011110 000000011111"
+)
+
+
+def _g4_tables():
+    def invert(codes, runs):
+        return {
+            (len(b), int(b, 2)): r for r, b in zip(runs, codes.split())
+        }
+
+    ext = invert(_G4_EXT_MAKEUP, range(1792, 2561, 64))
+    white = invert(_G4_WHITE_CODES, range(64))
+    white.update(invert(_G4_WHITE_MAKEUP, range(64, 1729, 64)))
+    white.update(ext)
+    black = invert(_G4_BLACK_CODES, range(64))
+    black.update(invert(_G4_BLACK_MAKEUP, range(64, 1729, 64)))
+    black.update(ext)
+    modes = {
+        (1, 0b1): 0, (3, 0b011): 1, (3, 0b010): -1, (3, 0b001): "H",
+        (4, 0b0001): "P", (6, 0b000011): 2, (6, 0b000010): -2,
+        (7, 0b0000011): 3, (7, 0b0000010): -3,
+    }
+    return white, black, modes
+
+
+_G4_WHITE, _G4_BLACK, _G4_MODES = _g4_tables()
+
+
+class _G4Bits:
+    """MSB-first bit reader with prefix-code lookup."""
+
+    __slots__ = ("d", "pos", "n")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.n = len(data) * 8
+
+    def take(self, table, maxlen=14):
+        v = 0
+        ln = 0
+        while ln < maxlen:
+            if self.pos >= self.n:
+                raise ValueError("truncated G4 stream")
+            v = (v << 1) | (
+                (self.d[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
+            )
+            self.pos += 1
+            ln += 1
+            hit = table.get((ln, v))
+            if hit is not None:
+                return hit
+        raise ValueError("bad G4 code")
+
+
+def _g4_run(bits: _G4Bits, table) -> int:
+    """One MH run: zero or more makeup codes then a terminating code."""
+    total = 0
+    while True:
+        r = bits.take(table)
+        total += r
+        if r < 64:
+            return total
+
+
+def _g4_decode(data: bytes, width: int, height: int) -> np.ndarray:
+    """Decode a G4 strip to (height, width) uint8 with 0=white 1=black.
+
+    Rows are coded as changing-element transitions against the previous
+    row (pass / horizontal / vertical modes); the reference line for the
+    first row is the imaginary all-white line.
+    """
+    bits = _G4Bits(data)
+    rows = np.zeros((height, width), dtype=np.uint8)
+    ref = [width, width, width]
+    for y in range(height):
+        cur: list[int] = []
+        a0 = -1
+        color = 0  # 0 white, 1 black
+        ri = 0  # monotone cursor into ref (a0 never moves left)
+        while a0 < width:
+            while ri < len(ref) and ref[ri] <= a0:
+                ri += 1
+            i = ri if (ri & 1) == color else ri + 1
+            b1 = ref[i] if i < len(ref) else width
+            b2 = ref[i + 1] if i + 1 < len(ref) else width
+            mode = bits.take(_G4_MODES, maxlen=7)
+            prev_a0 = a0
+            if mode == "P":
+                a0 = b2
+            elif mode == "H":
+                a0s = max(a0, 0)
+                r1 = _g4_run(bits, _G4_WHITE if color == 0 else _G4_BLACK)
+                r2 = _g4_run(bits, _G4_BLACK if color == 0 else _G4_WHITE)
+                a1 = a0s + r1
+                cur.append(min(a1, width))
+                cur.append(min(a1 + r2, width))
+                a0 = a1 + r2
+            else:  # vertical: mode is the signed offset from b1
+                a1 = b1 + mode
+                cur.append(min(max(a1, 0), width))
+                a0 = a1
+                color ^= 1
+            if a0 <= prev_a0:  # valid T.6 has strictly increasing a0
+                raise ValueError("corrupt G4 stream: stalled position")
+        prev = 0
+        c = 0
+        for t in cur:
+            if c:
+                rows[y, prev:t] = 1
+            c ^= 1
+            prev = t
+        if c:
+            rows[y, prev:width] = 1
+        ref = cur + [width, width, width]
+    return rows
+
+
 def _undo_predictor(samples: np.ndarray, depth: int) -> np.ndarray:
     """Predictor 2 (horizontal differencing): rows store per-sample
     deltas; reconstruct by modular cumsum along the row."""
@@ -195,10 +370,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
         )
     if comp not in (
         _COMPRESSION_NONE,
+        _COMPRESSION_G4,
         _COMPRESSION_LZW,
         _COMPRESSION_PACKBITS,
     ) and comp not in _COMPRESSION_DEFLATE:
         raise ValueError(f"unknown TIFF compression {comp}")
+    if comp == _COMPRESSION_G4 and (depth != 1 or spp != 1):
+        raise ValueError("G4 compression requires bilevel single-sample")
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
     if predictor == 2 and depth == 1:
@@ -216,7 +394,9 @@ def decode_tiff(data: bytes) -> np.ndarray:
             raise ValueError("truncated TIFF strip")
         n_rows = min(rows_per_strip, remaining)
         expect = n_rows * row_bytes
-        if comp == _COMPRESSION_PACKBITS:
+        if comp == _COMPRESSION_G4:
+            seg = np.packbits(_g4_decode(seg, w, n_rows), axis=1).tobytes()
+        elif comp == _COMPRESSION_PACKBITS:
             seg = _unpackbits(seg, expect)
         elif comp == _COMPRESSION_LZW:
             seg = _lzw_decode(seg, expect)

@@ -328,6 +328,50 @@ def test_deflate_roundtrip_legacy_code_point():
     assert np.array_equal(got, img.astype(np.float64))
 
 
+# libtiff-written G4 TIFF (24x96 bilevel, photometric 0, 4 strips of 7
+# rows) whose pixels the test regenerates below — self-contained ground
+# truth for the CCITT G4 decoder without needing libtiff at test time.
+_G4_FIXTURE = bytes.fromhex(
+    "49492a005c00000026a14ef5293d978970b90cf642ec7891cf25c2e00200202506"
+    "4148980b890cf2281473863891b0b94e63800800802a41481911a31c4880b92d31"
+    "c4e8172b46389985c00400402733b4109330b908638008008000"
+    "0a000001030001000000600000000101030001000000180000000201030001000000"
+    "010000000301030001000000040000000601030001000000000000001101040004"
+    "000000ea0000001501030001000000010000001601030001000000070000001701"
+    "040004000000da0000001c0103000100000001000000000000001700000017000000"
+    "180000000d000000080000001f000000360000004e000000"
+)
+
+
+def _g4_fixture_pixels() -> np.ndarray:
+    img = np.zeros((24, 96), dtype=np.uint8)
+    for k in range(12):
+        y = 2 * k
+        img[y, (k * 7) % 80 : (k * 7) % 80 + 11] = 1
+        img[y + 1, (k * 13) % 60 : (k * 13) % 60 + 5] = 1
+    img[:, 90:] = 1
+    return img
+
+
+def test_g4_fixture_multistrip():
+    """CCITT G4 (T.6) strips decode to exact pixels; photometric 0 means
+    the 0-bits (white runs) render as 255."""
+    got = decode_tiff(_G4_FIXTURE)
+    want = 255.0 - _g4_fixture_pixels() * 255.0
+    assert got.shape == (24, 96)
+    assert np.array_equal(got, want)
+
+
+def test_g4_corrupt_stream_raises():
+    # All-zero bits hit the T.6 extension/EOL prefix, which this profile
+    # treats as invalid.  (All-ones would decode as endless valid V0
+    # codes, so 0x00 is the honest corruption pattern.)
+    body = bytearray(_G4_FIXTURE)
+    body[12:31] = b"\x00" * 19  # clobber strip-0 entropy data
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(body))
+
+
 def _libtiff():
     import ctypes
 
@@ -394,17 +438,70 @@ def test_lzw_cross_checked_against_libtiff(tmp_path):
     assert np.array_equal(back, img)
 
 
+@pytest.mark.skipif(_libtiff() is None, reason="system libtiff unavailable")
+def test_g4_cross_checked_against_libtiff(tmp_path):
+    """Every MH code range exercised against libtiff's G4 encoder:
+    sampled run lengths spanning terminating (0-63), per-color makeup
+    (64-1728) and extended makeup (1792-2560) codes, plus noise images
+    that force pass/vertical modes."""
+    import ctypes
+
+    lib = _libtiff()
+
+    def libtiff_g4(img, path):
+        h, w = img.shape
+        t = lib.TIFFOpen(str(path).encode(), b"w")
+        assert t
+        sf = lambda tag, val: lib.TIFFSetField(
+            ctypes.c_void_p(t), ctypes.c_uint32(tag), ctypes.c_int(val))
+        for tag, val in ((256, w), (257, h), (258, 1), (259, 4),
+                         (262, 0), (277, 1), (278, h), (284, 1)):
+            sf(tag, val)
+        packed = np.packbits(img & 1, axis=1)
+        for y in range(h):
+            assert lib.TIFFWriteScanline(
+                ctypes.c_void_p(t), packed[y].tobytes(), y, 0) == 1
+        lib.TIFFClose(ctypes.c_void_p(t))
+        return open(path, "rb").read()
+
+    def check(img, label):
+        data = libtiff_g4(img, tmp_path / "g4.tif")
+        got = decode_tiff(data)
+        assert np.array_equal(got, 255.0 - img * 255.0), label
+
+    w = 2700
+    lengths = (
+        list(range(0, 65))                      # every terminating code
+        + list(range(64, 2561, 64))             # every makeup code
+        + [m + 1 for m in range(64, 2561, 64)]  # makeup + term combos
+        + [2600, 2699]                          # chained extended makeup
+    )
+    for n in lengths:
+        row = np.ones((1, w), dtype=np.uint8)
+        row[0, :n] = 0
+        check(row, f"white run {n}")
+        row = np.zeros((1, w), dtype=np.uint8)
+        row[0, 1 : 1 + n] = 1
+        check(row, f"black run {n}")
+
+    rng = np.random.default_rng(33)
+    for trial in range(8):
+        h, wd = int(rng.integers(3, 40)), int(rng.integers(5, 300))
+        img = (rng.random((h, wd)) < rng.random()).astype(np.uint8)
+        check(img, f"noise {trial}")
+
+
 def test_unsupported_and_malformed():
     img = _gradient(4, 4)
     data = encode_tiff(img)
     with pytest.raises(ValueError, match="magic"):
         decode_tiff(b"XXXX" + data[4:])
-    # G4-compressed flag -> honest NotImplementedError
-    g4 = bytearray(data)
+    # G3-compressed flag -> honest NotImplementedError (G4 is decoded now)
+    g3 = bytearray(data)
     at = data.index(struct.pack("<HHI", 259, 3, 1))
-    g4[at + 8 : at + 10] = struct.pack("<H", 4)
-    with pytest.raises(NotImplementedError, match="G4"):
-        decode_tiff(bytes(g4))
+    g3[at + 8 : at + 10] = struct.pack("<H", 3)
+    with pytest.raises(NotImplementedError, match="G3"):
+        decode_tiff(bytes(g3))
     # truncated strip
     with pytest.raises(ValueError):
         decode_tiff(data[:20])
