@@ -9,21 +9,23 @@ codec library still need real pixel access to them.
 Scope, honestly stated: single-image baseline TIFF, both byte orders,
 strip-organised (tiles raise), with
 
-* compression 1 (none), 4 (CCITT G4/T.6 — the canonical bitonal
-  archive-scan codec, full 2D MMR with pass/horizontal/vertical modes
-  and the complete T.4 white/black/extended run tables), 5 (LZW with
-  TIFF's early-change code widths), 8/32946 (Deflate via stdlib zlib)
-  and 32773 (PackBits),
+* compression 1 (none), 2 (Modified-Huffman RLE), 3 (CCITT G3/T.4,
+  1D and — via T4Options bit 0 — mixed 1D/2D lines, EOL + fill-bit
+  tolerant), 4 (CCITT G4/T.6 — the canonical bitonal archive-scan
+  codec, full 2D MMR with pass/horizontal/vertical modes and the
+  complete T.4 white/black/extended run tables), 5 (LZW with TIFF's
+  early-change code widths), 8/32946 (Deflate via stdlib zlib) and
+  32773 (PackBits),
 * Predictor 2 (horizontal differencing) for 8- and 16-bit samples,
 * photometric 0/1 (bilevel+gray, WhiteIsZero inverted), 2 (RGB),
   3 (palette via ColorMap),
 * 1-bit packed bilevel rows, 8-bit, and 16-bit samples.
 
-G4 and LZW are cross-checked bit-exactly against system libtiff (every
-MH run length 0..2560 individually, plus noise stress) in
-``tests/test_tiff_decode.py``.  CCITT G3 1D/RLE and JPEG-in-TIFF land
-on the ``decode_error`` channel via ``NotImplementedError`` like every
-other codec gap.
+G4, G3 (both line modes), MH-RLE and LZW are cross-checked bit-exactly
+against system libtiff (every MH run length 0..2560 individually, plus
+noise stress) in ``tests/test_tiff_decode.py``.  JPEG-in-TIFF and G3
+uncompressed mode land on the ``decode_error`` channel via
+``NotImplementedError`` like every other codec gap.
 """
 
 from __future__ import annotations
@@ -34,12 +36,13 @@ import zlib
 import numpy as np
 
 _COMPRESSION_NONE = 1
+_COMPRESSION_RLE = 2
+_COMPRESSION_G3 = 3
 _COMPRESSION_G4 = 4
 _COMPRESSION_LZW = 5
 _COMPRESSION_DEFLATE = (8, 32946)  # Adobe + legacy code point
 _COMPRESSION_PACKBITS = 32773
 _UNSUPPORTED_COMPRESSION = {
-    2: "CCITT RLE", 3: "CCITT G3",
     6: "old JPEG", 7: "JPEG",
 }
 
@@ -48,6 +51,7 @@ _T_WIDTH, _T_HEIGHT = 256, 257
 _T_BITS, _T_COMPRESSION, _T_PHOTOMETRIC = 258, 259, 262
 _T_STRIP_OFFSETS, _T_SAMPLES, _T_ROWS_PER_STRIP = 273, 277, 278
 _T_STRIP_COUNTS, _T_PREDICTOR, _T_COLORMAP = 279, 317, 320
+_T_T4OPTIONS = 292
 _T_TILE_WIDTH, _T_TILE_LENGTH = 322, 323
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
@@ -274,6 +278,73 @@ def _g4_run(bits: _G4Bits, table) -> int:
             return total
 
 
+def _2d_row(bits: _G4Bits, ref: list[int], width: int) -> list[int]:
+    """One 2D-coded line (T.6, and T.4 2D lines which use the identical
+    pass/horizontal/vertical modes) against the reference line's changing
+    elements.  Returns the line's own changing-element positions."""
+    cur: list[int] = []
+    a0 = -1
+    color = 0  # 0 white, 1 black
+    ri = 0  # monotone cursor into ref (a0 never moves left)
+    while a0 < width:
+        while ri < len(ref) and ref[ri] <= a0:
+            ri += 1
+        i = ri if (ri & 1) == color else ri + 1
+        b1 = ref[i] if i < len(ref) else width
+        b2 = ref[i + 1] if i + 1 < len(ref) else width
+        mode = bits.take(_G4_MODES, maxlen=7)
+        prev_a0 = a0
+        if mode == "P":
+            a0 = b2
+        elif mode == "H":
+            a0s = max(a0, 0)
+            r1 = _g4_run(bits, _G4_WHITE if color == 0 else _G4_BLACK)
+            r2 = _g4_run(bits, _G4_BLACK if color == 0 else _G4_WHITE)
+            a1 = a0s + r1
+            cur.append(min(a1, width))
+            cur.append(min(a1 + r2, width))
+            a0 = a1 + r2
+        else:  # vertical: mode is the signed offset from b1
+            a1 = b1 + mode
+            cur.append(min(max(a1, 0), width))
+            a0 = a1
+            color ^= 1
+        if a0 <= prev_a0:  # valid T.4/T.6 has strictly increasing a0
+            raise ValueError("corrupt G4 stream: stalled position")
+    return cur
+
+
+def _mh_1d_row(bits: _G4Bits, width: int) -> list[int]:
+    """One 1D Modified-Huffman line: alternating white/black runs,
+    starting white, until exactly ``width`` pixels are coded."""
+    cur: list[int] = []
+    pos = 0
+    color = 0
+    while pos < width:
+        run = _g4_run(bits, _G4_WHITE if color == 0 else _G4_BLACK)
+        pos += run
+        if pos > width:
+            raise ValueError("MH run overruns row width")
+        cur.append(pos)
+        color ^= 1
+        if len(cur) > 2 * width + 4:  # corrupt stream of zero-runs
+            raise ValueError("MH row never terminates")
+    return cur
+
+
+def _paint(rows: np.ndarray, y: int, cur: list[int], width: int) -> None:
+    """Fill row ``y`` from changing-element positions (white leads)."""
+    prev = 0
+    c = 0
+    for t in cur:
+        if c:
+            rows[y, prev:t] = 1
+        c ^= 1
+        prev = t
+    if c:
+        rows[y, prev:width] = 1
+
+
 def _g4_decode(data: bytes, width: int, height: int) -> np.ndarray:
     """Decode a G4 strip to (height, width) uint8 with 0=white 1=black.
 
@@ -285,45 +356,73 @@ def _g4_decode(data: bytes, width: int, height: int) -> np.ndarray:
     rows = np.zeros((height, width), dtype=np.uint8)
     ref = [width, width, width]
     for y in range(height):
-        cur: list[int] = []
-        a0 = -1
-        color = 0  # 0 white, 1 black
-        ri = 0  # monotone cursor into ref (a0 never moves left)
-        while a0 < width:
-            while ri < len(ref) and ref[ri] <= a0:
-                ri += 1
-            i = ri if (ri & 1) == color else ri + 1
-            b1 = ref[i] if i < len(ref) else width
-            b2 = ref[i + 1] if i + 1 < len(ref) else width
-            mode = bits.take(_G4_MODES, maxlen=7)
-            prev_a0 = a0
-            if mode == "P":
-                a0 = b2
-            elif mode == "H":
-                a0s = max(a0, 0)
-                r1 = _g4_run(bits, _G4_WHITE if color == 0 else _G4_BLACK)
-                r2 = _g4_run(bits, _G4_BLACK if color == 0 else _G4_WHITE)
-                a1 = a0s + r1
-                cur.append(min(a1, width))
-                cur.append(min(a1 + r2, width))
-                a0 = a1 + r2
-            else:  # vertical: mode is the signed offset from b1
-                a1 = b1 + mode
-                cur.append(min(max(a1, 0), width))
-                a0 = a1
-                color ^= 1
-            if a0 <= prev_a0:  # valid T.6 has strictly increasing a0
-                raise ValueError("corrupt G4 stream: stalled position")
-        prev = 0
-        c = 0
-        for t in cur:
-            if c:
-                rows[y, prev:t] = 1
-            c ^= 1
-            prev = t
-        if c:
-            rows[y, prev:width] = 1
+        cur = _2d_row(bits, ref, width)
+        _paint(rows, y, cur, width)
         ref = cur + [width, width, width]
+    return rows
+
+
+def _try_eol(bits: _G4Bits) -> bool:
+    """Consume one T.4 EOL (eleven-plus zeros then a one — extra zeros
+    are fill bits, T4Options bit 2).  Restores the cursor and returns
+    False when the bits there are not an EOL."""
+    mark = bits.pos
+    zeros = 0
+    while bits.pos < bits.n:
+        bit = (bits.d[bits.pos >> 3] >> (7 - (bits.pos & 7))) & 1
+        bits.pos += 1
+        if bit:
+            if zeros >= 11:
+                return True
+            bits.pos = mark
+            return False
+        zeros += 1
+    bits.pos = mark
+    return False
+
+
+def _g3_decode(
+    data: bytes, width: int, height: int, opts: int
+) -> np.ndarray:
+    """Decode a CCITT G3 (T.4) strip.  1D lines are Modified-Huffman
+    runs; with T4Options bit 0 each EOL carries a tag bit selecting 1D
+    or 2D coding for the following line (2D lines use the same
+    pass/horizontal/vertical modes as T.6).  EOLs are optional before
+    pure-1D lines (TIFF class-F writers omit them); fill bits before an
+    EOL are absorbed."""
+    if opts & 2:
+        raise NotImplementedError("G3 uncompressed mode")
+    two_d = bool(opts & 1)
+    bits = _G4Bits(data)
+    rows = np.zeros((height, width), dtype=np.uint8)
+    ref = [width, width, width]
+    for y in range(height):
+        saw_eol = _try_eol(bits)
+        one_d = True
+        if two_d:
+            if not saw_eol:
+                raise ValueError("G3 2D line without its EOL tag bit")
+            if bits.pos >= bits.n:
+                raise ValueError("truncated G3 stream")
+            one_d = (
+                (bits.d[bits.pos >> 3] >> (7 - (bits.pos & 7))) & 1
+            ) == 1
+            bits.pos += 1
+        cur = _mh_1d_row(bits, width) if one_d else _2d_row(bits, ref, width)
+        _paint(rows, y, cur, width)
+        ref = cur + [width, width, width]
+    return rows
+
+
+def _rle_decode(data: bytes, width: int, height: int) -> np.ndarray:
+    """Decode Modified-Huffman RLE (compression 2): pure 1D lines, each
+    starting on a byte boundary, no EOLs."""
+    bits = _G4Bits(data)
+    rows = np.zeros((height, width), dtype=np.uint8)
+    for y in range(height):
+        bits.pos = (bits.pos + 7) & ~7
+        cur = _mh_1d_row(bits, width)
+        _paint(rows, y, cur, width)
     return rows
 
 
@@ -370,13 +469,16 @@ def decode_tiff(data: bytes) -> np.ndarray:
         )
     if comp not in (
         _COMPRESSION_NONE,
+        _COMPRESSION_RLE,
+        _COMPRESSION_G3,
         _COMPRESSION_G4,
         _COMPRESSION_LZW,
         _COMPRESSION_PACKBITS,
     ) and comp not in _COMPRESSION_DEFLATE:
         raise ValueError(f"unknown TIFF compression {comp}")
-    if comp == _COMPRESSION_G4 and (depth != 1 or spp != 1):
-        raise ValueError("G4 compression requires bilevel single-sample")
+    fax = (_COMPRESSION_RLE, _COMPRESSION_G3, _COMPRESSION_G4)
+    if comp in fax and (depth != 1 or spp != 1):
+        raise ValueError("CCITT compression requires bilevel single-sample")
     if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} unsupported")
     if predictor == 2 and depth == 1:
@@ -396,6 +498,13 @@ def decode_tiff(data: bytes) -> np.ndarray:
         expect = n_rows * row_bytes
         if comp == _COMPRESSION_G4:
             seg = np.packbits(_g4_decode(seg, w, n_rows), axis=1).tobytes()
+        elif comp == _COMPRESSION_G3:
+            t4opts = tags.get(_T_T4OPTIONS, [0])[0]
+            seg = np.packbits(
+                _g3_decode(seg, w, n_rows, t4opts), axis=1
+            ).tobytes()
+        elif comp == _COMPRESSION_RLE:
+            seg = np.packbits(_rle_decode(seg, w, n_rows), axis=1).tobytes()
         elif comp == _COMPRESSION_PACKBITS:
             seg = _unpackbits(seg, expect)
         elif comp == _COMPRESSION_LZW:

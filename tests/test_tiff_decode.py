@@ -491,17 +491,125 @@ def test_g4_cross_checked_against_libtiff(tmp_path):
         check(img, f"noise {trial}")
 
 
+# Pinned libtiff output for the same pixels as the G4 fixture: CCITT
+# G3 with T4Options=1 (mixed 1D/2D lines, EOL tag bits) and pure
+# Modified-Huffman RLE (byte-aligned rows, no EOLs), both 4 strips of
+# 7 rows so strip-restart is exercised too.
+_G3_2D_FIXTURE = bytes.fromhex(
+    "49492a00780000000019a85dea400293d97800fc2ee64002219e003d02ec720010"
+    "91cf001970ab640019418290008980b800d54c48800445028e003c3dd440021236"
+    "17001a73dc10001a90503200111a31c006b2142100089698e003340b510008ad18"
+    "e003df05a1000019cf68200109330b800c219990000b0000010300010000006000"
+    "000001010300010000001800000002010300010000000100000003010300010000"
+    "000300000006010300010000000000000011010400040000001201000015010300"
+    "01000000010000001601030001000000070000001701040004000000020100001c"
+    "010300010000000100000024010400010000000100000000000000200000002000"
+    "0000210000000e00000008000000280000004800000069000000"
+)
+_RLE_FIXTURE = bytes.fromhex(
+    "49492a005e000000350bbd48353d9720f0bb99000cf732d02ec7202669442e156c"
+    "8028305230155080553122140a5a40c3dd442b0a2c404e7b82520a06401a325259"
+    "0a10802d32a2340b51005a3304df05a10039ed04d8615c80086664000a00000103"
+    "000100000060000000010103000100000018000000020103000100000001000000"
+    "0301030001000000020000000601030001000000000000001101040004000000ec"
+    "000000150103000100000001000000160103000100000007000000170104000400"
+    "0000dc0000001c0103000100000001000000000000001a00000018000000190000"
+    "000a00000008000000220000003a00000053000000"
+)
+
+
+def test_g3_2d_fixture_multistrip():
+    """CCITT G3 with mixed 1D/2D lines decodes to the same exact pixels
+    as the G4 fixture (identical image, different codec)."""
+    got = decode_tiff(_G3_2D_FIXTURE)
+    want = 255.0 - _g4_fixture_pixels() * 255.0
+    assert got.shape == (24, 96)
+    assert np.array_equal(got, want)
+
+
+def test_rle_fixture_multistrip():
+    """Modified-Huffman RLE (compression 2) decodes the same pixels."""
+    got = decode_tiff(_RLE_FIXTURE)
+    want = 255.0 - _g4_fixture_pixels() * 255.0
+    assert got.shape == (24, 96)
+    assert np.array_equal(got, want)
+
+
+def test_g3_uncompressed_mode_flag_honest():
+    # flip T4Options to request uncompressed mode (bit 1) -> honest gap
+    body = bytearray(_G3_2D_FIXTURE)
+    at = body.index(struct.pack("<HHI", 292, 4, 1))
+    body[at + 8] = 3  # 2D + uncompressed
+    with pytest.raises(NotImplementedError, match="uncompressed"):
+        decode_tiff(bytes(body))
+
+
+@pytest.mark.skipif(_libtiff() is None, reason="system libtiff unavailable")
+def test_g3_rle_cross_checked_against_libtiff(tmp_path):
+    """libtiff's G3 encoder in every profile it writes — pure 1D,
+    mixed 1D/2D, each with and without fill bits — plus MH-RLE, decode
+    bit-exactly: run-length sweep over all three MH code ranges and
+    noise images that force 2D pass/vertical modes."""
+    import ctypes
+
+    lib = _libtiff()
+
+    def libtiff_fax(img, path, comp, t4opts):
+        h, w = img.shape
+        t = lib.TIFFOpen(str(path).encode(), b"w")
+        assert t
+        sf = lambda tag, val: lib.TIFFSetField(
+            ctypes.c_void_p(t), ctypes.c_uint32(tag), ctypes.c_int(val))
+        for tag, val in ((256, w), (257, h), (258, 1), (259, comp),
+                         (262, 0), (277, 1), (278, h), (284, 1)):
+            sf(tag, val)
+        if t4opts is not None:
+            sf(292, t4opts)
+        packed = np.packbits(img & 1, axis=1)
+        for y in range(h):
+            assert lib.TIFFWriteScanline(
+                ctypes.c_void_p(t), packed[y].tobytes(), y, 0) == 1
+        lib.TIFFClose(ctypes.c_void_p(t))
+        return open(path, "rb").read()
+
+    profiles = ((2, None), (3, 0), (3, 1), (3, 4), (3, 5))
+
+    def check(img, label):
+        for comp, opts in profiles:
+            data = libtiff_fax(img, tmp_path / "fax.tif", comp, opts)
+            got = decode_tiff(data)
+            assert np.array_equal(
+                got, 255.0 - img * 255.0
+            ), f"{label} comp={comp} opts={opts}"
+
+    w = 2700
+    for n in (0, 1, 63, 64, 65, 128, 1728, 1729, 1792, 2560, 2600, 2699):
+        row = np.ones((1, w), dtype=np.uint8)
+        row[0, :n] = 0
+        check(row, f"white run {n}")
+        row = np.zeros((1, w), dtype=np.uint8)
+        row[0, 1 : 1 + n] = 1
+        check(row, f"black run {n}")
+
+    rng = np.random.default_rng(17)
+    for trial in range(6):
+        h, wd = int(rng.integers(3, 40)), int(rng.integers(5, 300))
+        img = (rng.random((h, wd)) < rng.random()).astype(np.uint8)
+        check(img, f"noise {trial}")
+
+
 def test_unsupported_and_malformed():
     img = _gradient(4, 4)
     data = encode_tiff(img)
     with pytest.raises(ValueError, match="magic"):
         decode_tiff(b"XXXX" + data[4:])
-    # G3-compressed flag -> honest NotImplementedError (G4 is decoded now)
-    g3 = bytearray(data)
+    # JPEG-in-TIFF flag -> honest NotImplementedError (the CCITT fax
+    # family 2/3/4 is decoded natively now)
+    jp = bytearray(data)
     at = data.index(struct.pack("<HHI", 259, 3, 1))
-    g3[at + 8 : at + 10] = struct.pack("<H", 3)
-    with pytest.raises(NotImplementedError, match="G3"):
-        decode_tiff(bytes(g3))
+    jp[at + 8 : at + 10] = struct.pack("<H", 7)
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        decode_tiff(bytes(jp))
     # truncated strip
     with pytest.raises(ValueError):
         decode_tiff(data[:20])
