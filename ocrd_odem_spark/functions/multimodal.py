@@ -95,14 +95,16 @@ def _decode_raw_gray(payload: bytes):
     static-PNG format (1/2/4-bit bitonal scans, 8- and 16-bit
     gray/RGB/RGBA/palette, all scanline filters, Adam7 interlace;
     ``functions/pngdec.py``), so real pixel decode works even in
-    containers without PIL, plus baseline TIFF — the archive master
-    format — in both byte orders with uncompressed, PackBits, LZW
+    containers without PIL, plus TIFF — the archive master format —
+    in both byte orders, strip- or tile-organised, with uncompressed,
+    CCITT fax (MH-RLE / G3 1D+2D / G4, validated against system
+    libtiff), JPEG-in-TIFF (shared JPEGTables), PackBits, LZW
     (early-change code widths, cross-checked against system libtiff)
-    or Deflate strips and the horizontal predictor
-    (bilevel/gray/RGB/palette, 1/8/16-bit; ``functions/tiffdec.py``).
-    Raises ValueError on malformed input, NotImplementedError on
-    formats that still need a codec (arithmetic-coded JPEG,
-    CCITT/JPEG-compressed or tiled TIFF).
+    or Deflate payloads and the horizontal
+    predictor (bilevel/gray/RGB/palette, 1/8/16-bit;
+    ``functions/tiffdec.py``).  Raises ValueError on malformed input,
+    NotImplementedError on formats that still need a codec
+    (arithmetic-coded JPEG, deprecated old-style JPEG-in-TIFF).
     """
     import numpy as np
 

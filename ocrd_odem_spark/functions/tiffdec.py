@@ -7,15 +7,17 @@ PIL, ``lib/odem/processing/image.py:37-54``), so containers without a
 codec library still need real pixel access to them.
 
 Scope, honestly stated: single-image baseline TIFF, both byte orders,
-strip-organised (tiles raise), with
+strip- AND tile-organised (tiles stitch onto a padded canvas, every
+codec below applies per tile), with
 
 * compression 1 (none), 2 (Modified-Huffman RLE), 3 (CCITT G3/T.4,
   1D and — via T4Options bit 0 — mixed 1D/2D lines, EOL + fill-bit
   tolerant), 4 (CCITT G4/T.6 — the canonical bitonal archive-scan
   codec, full 2D MMR with pass/horizontal/vertical modes and the
   complete T.4 white/black/extended run tables), 5 (LZW with TIFF's
-  early-change code widths), 8/32946 (Deflate via stdlib zlib) and
-  32773 (PackBits),
+  early-change code widths), 7 (JPEG-in-TIFF: abbreviated per-segment
+  streams + shared JPEGTables, decoded by ``functions/jpegdec.py``),
+  8/32946 (Deflate via stdlib zlib) and 32773 (PackBits),
 * Predictor 2 (horizontal differencing) for 8- and 16-bit samples,
 * photometric 0/1 (bilevel+gray, WhiteIsZero inverted), 2 (RGB),
   3 (palette via ColorMap),
@@ -23,7 +25,9 @@ strip-organised (tiles raise), with
 
 G4, G3 (both line modes), MH-RLE and LZW are cross-checked bit-exactly
 against system libtiff (every MH run length 0..2560 individually, plus
-noise stress) in ``tests/test_tiff_decode.py``.  JPEG-in-TIFF and G3
+noise stress) in ``tests/test_tiff_decode.py``; JPEG-in-TIFF plumbing
+is exact against per-segment stream decode with the codec pinned by
+the JPEG test suite.  Old-style JPEG (compression 6) and G3
 uncompressed mode land on the ``decode_error`` channel via
 ``NotImplementedError`` like every other codec gap.
 """
@@ -41,9 +45,10 @@ _COMPRESSION_G3 = 3
 _COMPRESSION_G4 = 4
 _COMPRESSION_LZW = 5
 _COMPRESSION_DEFLATE = (8, 32946)  # Adobe + legacy code point
+_COMPRESSION_JPEG = 7
 _COMPRESSION_PACKBITS = 32773
 _UNSUPPORTED_COMPRESSION = {
-    6: "old JPEG", 7: "JPEG",
+    6: "old JPEG",
 }
 
 # tag ids
@@ -53,6 +58,8 @@ _T_STRIP_OFFSETS, _T_SAMPLES, _T_ROWS_PER_STRIP = 273, 277, 278
 _T_STRIP_COUNTS, _T_PREDICTOR, _T_COLORMAP = 279, 317, 320
 _T_T4OPTIONS = 292
 _T_TILE_WIDTH, _T_TILE_LENGTH = 322, 323
+_T_TILE_OFFSETS, _T_TILE_COUNTS = 324, 325
+_T_JPEG_TABLES = 347
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i"}
@@ -433,6 +440,120 @@ def _undo_predictor(samples: np.ndarray, depth: int) -> np.ndarray:
     return np.cumsum(samples, axis=1, dtype=acc_dtype)
 
 
+def _decompress_segment(
+    seg: bytes, comp: int, expect: int, width: int, n_rows: int, t4opts: int
+) -> bytes:
+    """Decode one strip or tile's payload to exactly ``expect`` bytes of
+    row-padded samples.  Fax codecs restart per segment with the segment's
+    own width, per the TIFF spec."""
+    if comp == _COMPRESSION_G4:
+        return np.packbits(_g4_decode(seg, width, n_rows), axis=1).tobytes()
+    if comp == _COMPRESSION_G3:
+        return np.packbits(
+            _g3_decode(seg, width, n_rows, t4opts), axis=1
+        ).tobytes()
+    if comp == _COMPRESSION_RLE:
+        return np.packbits(_rle_decode(seg, width, n_rows), axis=1).tobytes()
+    if comp == _COMPRESSION_PACKBITS:
+        return _unpackbits(seg, expect)
+    if comp == _COMPRESSION_LZW:
+        return _lzw_decode(seg, expect)
+    if comp in _COMPRESSION_DEFLATE:
+        try:
+            out = zlib.decompress(seg)
+        except zlib.error as exc:
+            raise ValueError(f"bad TIFF deflate strip: {exc}") from None
+        if len(out) < expect:
+            raise ValueError("deflate strip underrun")
+        return out[:expect]
+    if len(seg) < expect:
+        raise ValueError("TIFF strip shorter than its rows")
+    return seg[:expect]
+
+
+def _merge_jpeg_tables(tables: bytes | None, seg: bytes) -> bytes:
+    """Splice a TIFF JPEGTables stream (tag 347: SOI <tables> EOI) into
+    an abbreviated per-strip/tile JPEG stream.  Tables inside the
+    segment still win — the decoder applies later DQT/DHT over earlier
+    ones."""
+    if seg[:2] != b"\xff\xd8":
+        raise ValueError("JPEG-in-TIFF segment missing SOI")
+    if not tables:
+        return seg
+    if tables[:2] != b"\xff\xd8":
+        raise ValueError("bad JPEGTables stream")
+    body = tables[2:]
+    if body.endswith(b"\xff\xd9"):
+        body = body[:-2]
+    return b"\xff\xd8" + body + seg[2:]
+
+
+def _decode_jpeg_tiff(
+    data, tags, w, h, photo, spp, depth, tiled, offsets, counts,
+    rows_per_strip,
+):
+    """Compression 7: every strip/tile is an (abbreviated) JPEG stream;
+    shared tables come from tag 347.  The JPEG codec already yields
+    display-space pixels (gray, or RGB via the YCbCr transform that
+    photometric 6 declares), so this path bypasses the raw-sample
+    assembly entirely."""
+    from .jpegdec import decode_baseline_jpeg
+
+    if depth != 8:
+        raise NotImplementedError("JPEG-in-TIFF requires 8-bit samples")
+    if photo == 2:
+        raise NotImplementedError(
+            "JPEG-in-TIFF without the YCbCr transform (photometric 2)"
+        )
+    if photo not in (0, 1, 6):
+        raise NotImplementedError(f"JPEG-in-TIFF photometric {photo}")
+    tables = tags.get(_T_JPEG_TABLES, [None])[0]
+    if isinstance(tables, list):
+        tables = bytes(tables)
+    color = spp == 3
+    out = np.zeros((h, w, 3) if color else (h, w), dtype=np.float64)
+    if tiled:
+        tw = tags.get(_T_TILE_WIDTH, [0])[0]
+        th = tags.get(_T_TILE_LENGTH, [0])[0]
+        if tw <= 0 or th <= 0 or tw % 16 or th % 16:
+            raise ValueError("bad TIFF tile geometry")
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        if len(offsets) < across * down:
+            raise ValueError("TIFF tiles do not cover the image")
+        for idx in range(across * down):
+            o, c = offsets[idx], counts[idx]
+            seg = data[o : o + c]
+            if len(seg) != c:
+                raise ValueError("truncated TIFF tile")
+            px = decode_baseline_jpeg(_merge_jpeg_tables(tables, seg))
+            if (px.ndim == 3) != color:
+                raise ValueError("JPEG component count contradicts IFD")
+            ty, tx = (idx // across) * th, (idx % across) * tw
+            ch = min(th, h - ty)
+            cw = min(tw, w - tx)
+            out[ty : ty + ch, tx : tx + cw] = px[:ch, :cw]
+    else:
+        y = 0
+        for o, c in zip(offsets, counts):
+            seg = data[o : o + c]
+            if len(seg) != c:
+                raise ValueError("truncated TIFF strip")
+            n_rows = min(rows_per_strip, h - y)
+            px = decode_baseline_jpeg(_merge_jpeg_tables(tables, seg))
+            if (px.ndim == 3) != color:
+                raise ValueError("JPEG component count contradicts IFD")
+            if px.shape[0] < n_rows or px.shape[1] < w:
+                raise ValueError("JPEG strip smaller than its rows")
+            out[y : y + n_rows] = px[:n_rows, :w]
+            y += n_rows
+        if y < h:
+            raise ValueError("TIFF strips cover fewer rows than ImageLength")
+    if photo == 0:
+        out = 255.0 - out
+    return out
+
+
 def decode_tiff(data: bytes) -> np.ndarray:
     """Decode TIFF bytes -> float64 array: (H, W) gray or (H, W, C)."""
     if data[:4] == b"II*\x00":
@@ -442,13 +563,16 @@ def decode_tiff(data: bytes) -> np.ndarray:
     else:
         raise ValueError("not a TIFF payload (missing magic)")
     tags = _read_ifd(data, endian)
-    if _T_TILE_WIDTH in tags or _T_TILE_LENGTH in tags:
-        raise NotImplementedError("tiled TIFF needs a codec library")
+    tiled = _T_TILE_WIDTH in tags or _T_TILE_LENGTH in tags
     try:
         w = tags[_T_WIDTH][0]
         h = tags[_T_HEIGHT][0]
-        offsets = tags[_T_STRIP_OFFSETS]
-        counts = tags[_T_STRIP_COUNTS]
+        if tiled:
+            offsets = tags[_T_TILE_OFFSETS]
+            counts = tags[_T_TILE_COUNTS]
+        else:
+            offsets = tags[_T_STRIP_OFFSETS]
+            counts = tags[_T_STRIP_COUNTS]
     except KeyError as exc:
         raise ValueError(f"TIFF missing required tag {exc}") from None
     comp = tags.get(_T_COMPRESSION, [1])[0]
@@ -473,6 +597,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
         _COMPRESSION_G3,
         _COMPRESSION_G4,
         _COMPRESSION_LZW,
+        _COMPRESSION_JPEG,
         _COMPRESSION_PACKBITS,
     ) and comp not in _COMPRESSION_DEFLATE:
         raise ValueError(f"unknown TIFF compression {comp}")
@@ -485,61 +610,96 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise ValueError("horizontal predictor on bilevel samples")
     if len(offsets) != len(counts):
         raise ValueError("strip offset/count mismatch")
+    t4opts = tags.get(_T_T4OPTIONS, [0])[0]
 
-    # rows are byte-padded per spec; strips concatenate whole rows
-    row_bytes = (w * spp * depth + 7) // 8
-    raw = bytearray()
-    remaining = h
-    for k, (o, c) in enumerate(zip(offsets, counts)):
-        seg = data[o : o + c]
-        if len(seg) != c:
-            raise ValueError("truncated TIFF strip")
-        n_rows = min(rows_per_strip, remaining)
-        expect = n_rows * row_bytes
-        if comp == _COMPRESSION_G4:
-            seg = np.packbits(_g4_decode(seg, w, n_rows), axis=1).tobytes()
-        elif comp == _COMPRESSION_G3:
-            t4opts = tags.get(_T_T4OPTIONS, [0])[0]
-            seg = np.packbits(
-                _g3_decode(seg, w, n_rows, t4opts), axis=1
-            ).tobytes()
-        elif comp == _COMPRESSION_RLE:
-            seg = np.packbits(_rle_decode(seg, w, n_rows), axis=1).tobytes()
-        elif comp == _COMPRESSION_PACKBITS:
-            seg = _unpackbits(seg, expect)
-        elif comp == _COMPRESSION_LZW:
-            seg = _lzw_decode(seg, expect)
-        elif comp in _COMPRESSION_DEFLATE:
-            try:
-                seg = zlib.decompress(seg)
-            except zlib.error as exc:
-                raise ValueError(f"bad TIFF deflate strip: {exc}") from None
-            if len(seg) < expect:
-                raise ValueError("deflate strip underrun")
-        elif len(seg) < expect:
-            raise ValueError("TIFF strip shorter than its rows")
-        raw += seg[:expect]
-        remaining -= n_rows
-    if remaining > 0:
-        raise ValueError("TIFF strips cover fewer rows than ImageLength")
+    if comp == _COMPRESSION_JPEG:
+        return _decode_jpeg_tiff(
+            data, tags, w, h, photo, spp, depth, tiled, offsets, counts,
+            rows_per_strip,
+        )
 
-    grid = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, row_bytes)
+    if tiled:
+        # TileWidth/TileLength are multiples of 16 per spec, so every
+        # tile row is byte-aligned at any depth.  Edge tiles are coded
+        # at full tile size; the canvas is cropped to (h, w) at the end.
+        tw = tags.get(_T_TILE_WIDTH, [0])[0]
+        th = tags.get(_T_TILE_LENGTH, [0])[0]
+        if tw <= 0 or th <= 0 or tw % 16 or th % 16:
+            raise ValueError("bad TIFF tile geometry")
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        if len(offsets) < across * down:
+            raise ValueError("TIFF tiles do not cover the image")
+        trow_bytes = (tw * spp * depth + 7) // 8
+        expect = th * trow_bytes
+        if depth == 1:
+            canvas1 = np.zeros((down * th, across * tw), dtype=np.uint8)
+        else:
+            canvas = np.zeros(
+                (down * th, across * tw, spp),
+                dtype=np.uint8 if depth == 8 else np.uint16,
+            )
+        for idx in range(across * down):
+            o, c = offsets[idx], counts[idx]
+            seg = data[o : o + c]
+            if len(seg) != c:
+                raise ValueError("truncated TIFF tile")
+            seg = _decompress_segment(seg, comp, expect, tw, th, t4opts)
+            tgrid = np.frombuffer(seg, dtype=np.uint8).reshape(
+                th, trow_bytes
+            )
+            ty, tx = (idx // across) * th, (idx % across) * tw
+            if depth == 1:
+                canvas1[ty : ty + th, tx : tx + tw] = np.unpackbits(
+                    tgrid, axis=1
+                )[:, :tw]
+            else:
+                if depth == 16:
+                    tile = tgrid.view(endian + "u2").reshape(th, tw, spp)
+                else:
+                    tile = tgrid.reshape(th, tw, spp)
+                if predictor == 2:  # differencing resets per tile row
+                    tile = _undo_predictor(tile, depth)
+                canvas[ty : ty + th, tx : tx + tw] = tile
+        if depth == 1:
+            bits_arr = canvas1[:h, :w]
+        else:
+            ints = canvas[:h, :w]
+    else:
+        # rows are byte-padded per spec; strips concatenate whole rows
+        row_bytes = (w * spp * depth + 7) // 8
+        raw = bytearray()
+        remaining = h
+        for o, c in zip(offsets, counts):
+            seg = data[o : o + c]
+            if len(seg) != c:
+                raise ValueError("truncated TIFF strip")
+            n_rows = min(rows_per_strip, remaining)
+            expect = n_rows * row_bytes
+            raw += _decompress_segment(seg, comp, expect, w, n_rows, t4opts)
+            remaining -= n_rows
+        if remaining > 0:
+            raise ValueError("TIFF strips cover fewer rows than ImageLength")
+        grid = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, row_bytes)
+        if depth == 1:
+            bits_arr = np.unpackbits(grid, axis=1)[:, :w]
+        elif depth == 16:
+            ints = grid.view(endian + "u2").reshape(h, w, spp)
+            if predictor == 2:
+                ints = _undo_predictor(ints, depth)
+        else:
+            ints = grid.reshape(h, w, spp)
+            if predictor == 2:
+                ints = _undo_predictor(ints, depth)
+
     if depth == 1:
-        bits_arr = np.unpackbits(grid, axis=1)[:, :w]
         px = bits_arr.astype(np.float64) * 255.0
         if photo == 0:  # WhiteIsZero: 0 = white
             px = 255.0 - px
         return px
+    samples = ints.astype(np.float64)
     if depth == 16:
-        ints = grid.view(endian + "u2").reshape(h, w, spp)
-        if predictor == 2:
-            ints = _undo_predictor(ints, depth)
-        samples = ints.astype(np.float64) / 257.0
-    else:
-        ints = grid.reshape(h, w, spp)
-        if predictor == 2:
-            ints = _undo_predictor(ints, depth)
-        samples = ints.astype(np.float64)
+        samples = samples / 257.0
     if photo == 3:  # palette: ColorMap holds 16-bit R,G,B planes
         cmap = tags.get(_T_COLORMAP)
         if cmap is None:

@@ -598,16 +598,244 @@ def test_g3_rle_cross_checked_against_libtiff(tmp_path):
         check(img, f"noise {trial}")
 
 
+# Same pixels again, tile-organised: 32x16 G4 tiles (3x2 grid with
+# right/bottom padding the decoder must crop away).
+_G4_TILED_FIXTURE = bytes.fromhex(
+    "49492a007000000026a1726904b8590cec85f1239c970a46c3726191b0de70e329"
+    "ce35001001fe7ce4d471219cc0518c9c2c66b0b26ac600200224cbfffffff00100"
+    "10f939c6421c7fc00400402a052419d437152acd8fff8008008026b10843935098"
+    "e782e390c2e391b0dff80080080b00000103000100000060000000010103000100"
+    "000018000000020103000100000001000000030103000100000004000000060103"
+    "0001000000000000001501030001000000010000001c0103000100000001000000"
+    "420103000100000020000000430103000100000010000000440104000600000012"
+    "0100004501040006000000fa000000000000001e00000014000000090000000a00"
+    "00000f0000001400000008000000260000003a000000430000004d0000005c0000"
+    "00"
+)
+
+
+def test_tiled_g4_fixture():
+    """Tile-organised TIFF stitches onto a padded canvas and crops —
+    exact pixel equality with the strip-organised encodings of the same
+    image."""
+    got = decode_tiff(_G4_TILED_FIXTURE)
+    want = 255.0 - _g4_fixture_pixels() * 255.0
+    assert got.shape == (24, 96)
+    assert np.array_equal(got, want)
+
+
+def test_tiled_bad_geometry():
+    # TileWidth must be a positive multiple of 16
+    body = bytearray(_G4_TILED_FIXTURE)
+    at = body.index(struct.pack("<HHI", 322, 3, 1))
+    body[at + 8 : at + 10] = struct.pack("<H", 24)
+    with pytest.raises(ValueError, match="tile geometry"):
+        decode_tiff(bytes(body))
+
+
+@pytest.mark.skipif(_libtiff() is None, reason="system libtiff unavailable")
+def test_tiled_cross_checked_against_libtiff(tmp_path):
+    """libtiff writes tile-organised files across every codec and sample
+    layout the strip path supports; ragged edges force padded tiles."""
+    import ctypes
+
+    lib = _libtiff()
+    lib.TIFFWriteTile.restype = ctypes.c_long
+    lib.TIFFWriteTile.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint16]
+
+    def write_tiled(img, path, comp, depth=8, spp=1, photo=1,
+                    predictor=None, tw=16, th=16, t4opts=None):
+        h, w = img.shape[:2]
+        t = lib.TIFFOpen(str(path).encode(), b"w")
+        assert t
+        sf = lambda tag, val: lib.TIFFSetField(
+            ctypes.c_void_p(t), ctypes.c_uint32(tag), ctypes.c_int(val))
+        for tag, val in ((256, w), (257, h), (258, depth), (259, comp),
+                         (262, photo), (277, spp), (284, 1),
+                         (322, tw), (323, th)):
+            sf(tag, val)
+        if predictor:
+            sf(317, predictor)
+        if t4opts is not None:
+            sf(292, t4opts)
+        for j in range((h + th - 1) // th):
+            for i in range((w + tw - 1) // tw):
+                tile = np.zeros(
+                    (th, tw, spp),
+                    dtype=np.uint16 if depth == 16 else np.uint8)
+                sub = img[j * th : j * th + th, i * tw : i * tw + tw]
+                sub = sub.reshape(sub.shape[0], sub.shape[1], spp)
+                tile[: sub.shape[0], : sub.shape[1]] = sub
+                buf = (np.packbits(tile[:, :, 0] & 1, axis=1).tobytes()
+                       if depth == 1 else tile.tobytes())
+                assert lib.TIFFWriteTile(
+                    ctypes.c_void_p(t), buf, i * tw, j * th, 0, 0) >= 0
+        lib.TIFFClose(ctypes.c_void_p(t))
+        return open(path, "rb").read()
+
+    rng = np.random.default_rng(5)
+    p = tmp_path / "tiled.tif"
+    for comp, pred in ((1, None), (5, None), (5, 2), (8, None),
+                       (32773, None)):
+        for h, w in ((32, 48), (30, 41), (17, 90)):
+            img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+            got = decode_tiff(write_tiled(img, p, comp, predictor=pred))
+            assert np.array_equal(got, img.astype(np.float64)), (comp, h, w)
+    img = rng.integers(0, 256, (37, 53, 3)).astype(np.uint8)
+    got = decode_tiff(write_tiled(img, p, 5, spp=3, photo=2, tw=32))
+    assert np.array_equal(got, img.astype(np.float64))
+    img = rng.integers(0, 65536, (20, 40)).astype(np.uint16)
+    got = decode_tiff(write_tiled(img, p, 8, depth=16, predictor=2))
+    assert np.allclose(got, img.astype(np.float64) / 257.0)
+    for comp, opts in ((4, None), (3, 1), (3, 0), (2, None)):
+        img = (rng.random((45, 70)) < 0.35).astype(np.uint8)
+        got = decode_tiff(
+            write_tiled(img, p, comp, depth=1, photo=0, tw=32, t4opts=opts))
+        assert np.array_equal(got, 255.0 - img * 255.0), comp
+
+
+@pytest.mark.skipif(_libtiff() is None, reason="system libtiff unavailable")
+def test_jpeg_in_tiff_cross_checked_against_libtiff(tmp_path):
+    """Compression 7: strips and tiles carry abbreviated JPEG streams
+    with shared tables in tag 347.  The container plumbing is proven
+    EXACT — every strip/tile region equals a direct decode of its
+    table-merged stream (the JPEG codec itself is pinned by
+    test_jpeg_decode.py) — and the gray result equals libtiff's own
+    libjpeg decode within IDCT rounding."""
+    import ctypes
+    import struct as st
+
+    from ocrd_odem_spark.functions.jpegdec import decode_baseline_jpeg
+    from ocrd_odem_spark.functions.tiffdec import (
+        _merge_jpeg_tables, _read_ifd)
+
+    lib = _libtiff()
+    lib.TIFFWriteTile.restype = ctypes.c_long
+    lib.TIFFWriteTile.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint16]
+
+    def smooth(h, w):
+        yy, xx = np.mgrid[0:h, 0:w]
+        return (
+            (np.sin(xx / 7.0) + np.cos(yy / 5.0)) * 60 + 128
+        ).clip(0, 255).astype(np.uint8)
+
+    def segments(data):
+        endian = "<" if data[:2] == b"II" else ">"
+        tags = _read_ifd(data, endian)
+        tables = tags.get(347, [None])[0]
+        offs = tags.get(273) or tags.get(324)
+        cnts = tags.get(279) or tags.get(325)
+        return tables, list(zip(offs, cnts))
+
+    # gray strips: exact plumbing + libjpeg agreement
+    img = smooth(40, 64)
+    path = tmp_path / "j.tif"
+    t = lib.TIFFOpen(str(path).encode(), b"w")
+    sf = lambda tag, val: lib.TIFFSetField(
+        ctypes.c_void_p(t), ctypes.c_uint32(tag), ctypes.c_int(val))
+    for tag, val in ((256, 64), (257, 40), (258, 8), (259, 7), (262, 1),
+                     (277, 1), (278, 16), (284, 1)):
+        sf(tag, val)
+    for y in range(40):
+        assert lib.TIFFWriteScanline(
+            ctypes.c_void_p(t), img[y].tobytes(), y, 0) == 1
+    lib.TIFFClose(ctypes.c_void_p(t))
+    data = path.read_bytes()
+    got = decode_tiff(data)
+    assert got.shape == (40, 64)
+    tables, segs = segments(data)
+    y = 0
+    for o, c in segs:
+        px = decode_baseline_jpeg(_merge_jpeg_tables(tables, data[o:o + c]))
+        n = min(16, 40 - y)
+        assert np.array_equal(got[y:y + n], px[:n, :64])
+        y += n
+    t = lib.TIFFOpen(str(path).encode(), b"r")
+    buf = ctypes.create_string_buffer(64 + 16)
+    rows = []
+    for y in range(40):
+        assert lib.TIFFReadScanline(ctypes.c_void_p(t), buf, y, 0) == 1
+        rows.append(bytes(buf[:64]))
+    lib.TIFFClose(ctypes.c_void_p(t))
+    ref = np.frombuffer(b"".join(rows), np.uint8).reshape(40, 64)
+    assert np.abs(got - ref.astype(np.float64)).max() <= 1.5
+
+    # gray tiles (ragged edges): exact plumbing per tile region
+    img = smooth(40, 70)
+    path2 = tmp_path / "jt.tif"
+    t = lib.TIFFOpen(str(path2).encode(), b"w")
+    sf = lambda tag, val: lib.TIFFSetField(
+        ctypes.c_void_p(t), ctypes.c_uint32(tag), ctypes.c_int(val))
+    for tag, val in ((256, 70), (257, 40), (258, 8), (259, 7), (262, 1),
+                     (277, 1), (284, 1), (322, 32), (323, 16)):
+        sf(tag, val)
+    for j in range(3):
+        for i in range(3):
+            tile = np.zeros((16, 32), np.uint8)
+            sub = img[j * 16 : j * 16 + 16, i * 32 : i * 32 + 32]
+            tile[: sub.shape[0], : sub.shape[1]] = sub
+            assert lib.TIFFWriteTile(
+                ctypes.c_void_p(t), tile.tobytes(), i * 32, j * 16, 0, 0
+            ) >= 0
+    lib.TIFFClose(ctypes.c_void_p(t))
+    data = path2.read_bytes()
+    got = decode_tiff(data)
+    assert got.shape == (40, 70)
+    tables, segs = segments(data)
+    for idx, (o, c) in enumerate(segs):
+        px = decode_baseline_jpeg(_merge_jpeg_tables(tables, data[o:o + c]))
+        ty, tx = (idx // 3) * 16, (idx % 3) * 32
+        ch, cw = min(16, 40 - ty), min(32, 70 - tx)
+        assert np.array_equal(got[ty:ty + ch, tx:tx + cw], px[:ch, :cw])
+    assert np.abs(got - img.astype(np.float64)).max() < 40  # sane lossy bound
+
+    # YCbCr color strips: the photometric-6 transform lands in RGB
+    rgb = np.zeros((48, 64, 3), np.uint8)
+    rgb[..., 0] = smooth(48, 64)
+    rgb[..., 1] = np.roll(smooth(48, 64), 9, 1)
+    rgb[..., 2] = 77
+    path3 = tmp_path / "jc.tif"
+    t = lib.TIFFOpen(str(path3).encode(), b"w")
+    sf = lambda tag, val: lib.TIFFSetField(
+        ctypes.c_void_p(t), ctypes.c_uint32(tag), ctypes.c_int(val))
+    for tag, val in ((256, 64), (257, 48), (258, 8), (259, 7), (262, 6),
+                     (277, 3), (278, 16), (284, 1)):
+        sf(tag, val)
+    # pseudo-tag JPEGCOLORMODE: let libtiff accept RGB scanline input
+    lib.TIFFSetField(ctypes.c_void_p(t), ctypes.c_uint32(65538),
+                     ctypes.c_int(1))
+    for y in range(48):
+        assert lib.TIFFWriteScanline(
+            ctypes.c_void_p(t), rgb[y].tobytes(), y, 0) == 1
+    lib.TIFFClose(ctypes.c_void_p(t))
+    data = path3.read_bytes()
+    got = decode_tiff(data)
+    assert got.shape == (48, 64, 3)
+    tables, segs = segments(data)
+    y = 0
+    for o, c in segs:
+        px = decode_baseline_jpeg(_merge_jpeg_tables(tables, data[o:o + c]))
+        n = min(16, 48 - y)
+        assert np.array_equal(got[y:y + n], px[:n, :64])
+        y += n
+    d = np.abs(got - rgb.astype(np.float64))
+    assert d.mean() < 6 and d.max() < 48  # lossy + 4:2:0 subsample bound
+
+
 def test_unsupported_and_malformed():
     img = _gradient(4, 4)
     data = encode_tiff(img)
     with pytest.raises(ValueError, match="magic"):
         decode_tiff(b"XXXX" + data[4:])
-    # JPEG-in-TIFF flag -> honest NotImplementedError (the CCITT fax
-    # family 2/3/4 is decoded natively now)
+    # old-style JPEG (compression 6, deprecated since TIFF 6.0) is the
+    # one remaining codec gap -> honest NotImplementedError
     jp = bytearray(data)
     at = data.index(struct.pack("<HHI", 259, 3, 1))
-    jp[at + 8 : at + 10] = struct.pack("<H", 7)
+    jp[at + 8 : at + 10] = struct.pack("<H", 6)
     with pytest.raises(NotImplementedError, match="JPEG"):
         decode_tiff(bytes(jp))
     # truncated strip
