@@ -46,6 +46,94 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _np_fold_dot(A, B):
+    """Row-wise dot product with the SAME left-fold summation order as the
+    interpreted ``_dot`` HOF (init 0.0, then sequential adds in element
+    order): ``acc += A[:,d] * B[:,d]`` performs exactly that fold per row,
+    vectorised ACROSS rows.  IEEE float64 ops are deterministic, so the
+    result is bit-identical to the expression form — the r6 optimization
+    replaces the expression soup, not the arithmetic (guide §4.2)."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for d in range(A.shape[1]):
+        acc += A[:, d] * B[:, d]
+    return acc
+
+
+def _batch_vec_matrix(col):
+    """(n, dim) float64 matrix from an Arrow list<float> column, or None
+    when the batch is ragged/null and the caller must take the row path."""
+    import numpy as np
+
+    if col.null_count:
+        return None
+    lengths = col.value_lengths().to_numpy(zero_copy_only=False)
+    if len(lengths) == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    if (lengths != lengths[0]).any() or lengths[0] == 0:
+        return None
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(lengths), lengths[0]).astype(np.float64)
+
+
+def _score_pairs_arrow(df: DataFrame, vec_a: str = "_va", vec_b: str = "_vb") -> DataFrame:
+    """Vectorised cosine over attached (vec_a, vec_b) pair rows.
+
+    Replaces the interpreted per-pair ``cosine()`` HOF (3 folds x dim
+    lambda evaluations per row, CodegenFallback) with one numpy pass per
+    Arrow batch — bit-identical results (see ``_np_fold_dot``).  Returns
+    the input columns minus the vectors, plus unrounded ``sim`` (callers
+    apply ``F.round`` JVM-side so rounding semantics are unchanged).
+    """
+    import pyarrow as pa
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    keep = [f for f in df.schema.fields if f.name not in (vec_a, vec_b)]
+    out_schema = StructType(list(keep) + [StructField("sim", DoubleType())])
+    names = [f.name for f in keep] + ["sim"]
+
+    def run(batches):
+        import numpy as np
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            A = _batch_vec_matrix(b.column(vec_a))
+            B = _batch_vec_matrix(b.column(vec_b))
+            if A is not None and B is not None and A.shape == B.shape:
+                sims = _np_fold_dot(A, B) / (
+                    np.sqrt(_np_fold_dot(A, A)) * np.sqrt(_np_fold_dot(B, B))
+                )
+                sim_arr = pa.array(sims, pa.float64())
+            else:  # ragged/null rows: exact scalar fold per row
+                va = b.column(vec_a).to_pylist()
+                vb = b.column(vec_b).to_pylist()
+                out = []
+                for x, y in zip(va, vb):
+                    if x is None or y is None or len(x) != len(y):
+                        # HOF zip_with pads the shorter side with nulls ->
+                        # null product -> null fold -> null sim
+                        out.append(None)
+                        continue
+                    dot = 0.0
+                    na = 0.0
+                    nb = 0.0
+                    for xx, yy in zip(x, y):
+                        dot += float(xx) * float(yy)
+                    for xx in x:
+                        na += float(xx) * float(xx)
+                    for yy in y:
+                        nb += float(yy) * float(yy)
+                    out.append(dot / (na**0.5 * nb**0.5))
+                sim_arr = pa.array(out, pa.float64())
+            arrays = [b.column(f.name) for f in keep] + [sim_arr]
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return df.mapInArrow(run, out_schema)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -62,12 +150,14 @@ def cosine_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    scored = c.crossJoin(F.broadcast(q)).where(
+    paired = c.crossJoin(F.broadcast(q)).where(
         F.col("neighbor_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("_cv"), F.col("_qv")), 6).alias("sim"),
+    ).select("query_id", "neighbor_id", "_cv", "_qv")
+    # r6: score pairs in one vectorised Arrow stage instead of the
+    # interpreted 3-fold cosine HOF (bit-identical; guide §4.2) — the
+    # broadcast nested-loop shape (corpus never shuffles) is unchanged
+    scored = _score_pairs_arrow(paired, "_cv", "_qv").select(
+        "query_id", "neighbor_id", F.round(F.col("sim"), 6).alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -194,29 +284,77 @@ def cosine_near_duplicates(
         hyperplanes(64, 6, 42 + 1000 * t) for t in range(8)
     ]
     stage = _int_signatures_arrow if int_tables is not None else _signatures_arrow
-    # materialize the signature table once: both join sides read it, and
-    # Catalyst would otherwise run the Arrow signature stage twice (the
-    # DataFrame mirror of 'write the signature table first' at production
-    # scale — same pattern as the q26 minhash table)
-    sigs = stage(corpus, id_col, vec_col, tables).localCheckpoint(eager=True)
-    a = sigs.select(F.col("id").alias("id_a"), F.posexplode("sigs").alias("t", "sig"))
-    b = sigs.select(F.col("id").alias("id_b"), F.posexplode("sigs").alias("t", "sig"))
-    # dedup candidate pairs ACROSS tables before scoring — the cosine runs
-    # once per unique pair, not once per bucket collision (a pair colliding
-    # in all 8 tables would otherwise be scored 8x)
-    cand = (
-        a.join(b, ["t", "sig"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    sigs = stage(corpus, id_col, vec_col, tables)
+    # r6 restructure (guide §2.4/§4.2): the old shape was a (t, sig)
+    # self-join -> 25M-row ``distinct`` exchange -> two attach joins -> an
+    # interpreted cosine HOF per pair (~40 s at the driver's sf1.0).  Now
+    # each (table, signature) BUCKET becomes one ``applyInPandas`` group:
+    # members arrive once (id, sigs, vec — the corpus never moves per
+    # PAIR), pairs are generated in-group, deduped across tables by the
+    # first-shared-table rule (a pair is emitted only by the FIRST table
+    # whose bucket both share — no distinct exchange at all), and the
+    # cosine is one vectorised numpy fold (bit-identical; see
+    # ``_np_fold_dot``).  One exchange total (the bucket regroup of
+    # signature-sized rows), same output.
+    exploded = sigs.select(
+        "id", "sigs", "vec", F.posexplode("sigs").alias("t", "sig")
     )
-    va = sigs.select(F.col("id").alias("id_a"), F.col("vec").alias("_va"))
-    vb = sigs.select(F.col("id").alias("id_b"), F.col("vec").alias("_vb"))
-    scored = cand.join(va, "id_a").join(vb, "id_b").select(
-        "id_a", "id_b",
-        F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("sim"),
+
+    def bucket_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")}
+            )
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        SA = np.stack([np.asarray(s, dtype=np.int64) for s in pdf["sigs"]])[order]
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])[order]
+        t_here = int(pdf["t"].iloc[0])
+        norms = np.sqrt(_np_fold_dot(V, V))
+        ia_all, ib_all, sim_all = [], [], []
+        # chunk the i side so a pathological bucket stays memory-bounded
+        for lo in range(0, n - 1, 1024):
+            hi = min(lo + 1024, n - 1)
+            counts = n - 1 - np.arange(lo, hi)
+            ia = np.repeat(np.arange(lo, hi), counts)
+            ib = np.concatenate([np.arange(i + 1, n) for i in range(lo, hi)])
+            if len(ia) == 0:
+                continue
+            # first shared table decides ownership: emit only when it is
+            # THIS group's table (cross-table dedup without an exchange)
+            first = np.argmax(SA[ia] == SA[ib], axis=1)
+            keep = first == t_here
+            ia, ib = ia[keep], ib[keep]
+            if len(ia) == 0:
+                continue
+            dots = _np_fold_dot(V[ia], V[ib])
+            ia_all.append(ids[ia])
+            ib_all.append(ids[ib])
+            sim_all.append(dots / (norms[ia] * norms[ib]))
+        if not ia_all:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(ia_all),
+                "id_b": np.concatenate(ib_all),
+                "sim": np.concatenate(sim_all),
+            }
+        )
+
+    scored = exploded.groupBy("t", "sig").applyInPandas(
+        bucket_pairs, "id_a long, id_b long, sim double"
     )
-    return scored.where(F.col("sim") >= threshold)
+    return scored.select(
+        "id_a", "id_b", F.round(F.col("sim"), 6).alias("sim")
+    ).where(F.col("sim") >= threshold)
 
 
 def rh_signature(vec: Column, planes: list[list[float]]) -> Column:
