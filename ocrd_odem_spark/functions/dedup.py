@@ -45,6 +45,62 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     )
 
 
+def md5_minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_seeds: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Portable md5-min MinHash signatures (id, s0..s{n-1}) as ONE Arrow
+    stage — the vectorised form of the q25 SQL tier.
+
+    Bit-exact mirror of the expression form: shingles are the k-token
+    windows of ``split(text, ' ')`` (``max(n_tokens - k + 1, 1)`` of them,
+    the tail window shorter when the line has < k tokens), each seed's
+    signature is ``min(substr(md5('{seed}|' || shingle), 1, 16))`` over the
+    DISTINCT shingles.  hashlib.md5 over UTF-8 equals Spark/DuckDB md5;
+    hex-string min is bytewise on ASCII, identical in all three engines.
+    The interpreted HOF form evaluated slice+array_join per window and
+    md5 per (seed, shingle) inside per-element lambdas (~13 s at the
+    driver's sf1.0); the loop form is ~8x faster (guide §4.2).
+    A null text yields null signatures, like the expression form.
+    """
+    import pandas as pd
+
+    seed_prefixes = [f"{s}|".encode() for s in range(n_seeds)]
+    cols = [f"s{s}" for s in range(n_seeds)]
+
+    def run(batches):
+        import hashlib
+
+        md5 = hashlib.md5
+        for pdf in batches:
+            out_ids = []
+            out_sigs: list[list] = [[] for _ in range(n_seeds)]
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                out_ids.append(did)
+                if text is None:
+                    for s in range(n_seeds):
+                        out_sigs[s].append(None)
+                    continue
+                toks = text.split(" ")
+                m = max(len(toks) - (shingle_k - 1), 1)
+                sh = {" ".join(toks[i : i + shingle_k]) for i in range(m)}
+                enc = [s.encode("utf-8") for s in sh]
+                for s in range(n_seeds):
+                    pre = seed_prefixes[s]
+                    out_sigs[s].append(
+                        min(md5(pre + e).hexdigest()[:16] for e in enc)
+                    )
+            yield pd.DataFrame(
+                {id_col: out_ids, **{c: out_sigs[i] for i, c in enumerate(cols)}}
+            )
+
+    schema = f"{id_col} long, " + ", ".join(f"{c} string" for c in cols)
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
+
+
 def exact_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -293,6 +349,59 @@ def simhash64_agg(
     return agg.select("id", sh.alias("sh"))
 
 
+def _simhash64_md5_arrow(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, sh) for the portable md5 60-bit tier as ONE Arrow stage.
+
+    Replaces explode-tokens -> md5 -> 64-column vote aggregation (a wide
+    hash-agg whose per-row cost is 64 buffer updates) with per-document
+    numpy bit counting (guide §4.2).  Bit-exact: ``hashlib.md5`` over the
+    UTF-8 token equals Spark's ``md5``; the first 15 hex chars are the top
+    60 bits of the digest (``int.from_bytes(d[:8]) >> 4``); votes and the
+    sign threshold are integer arithmetic.  A null text produces no row,
+    matching the explode-based form.
+    """
+    import pandas as pd
+
+    def run(batches):
+        import hashlib
+        import numpy as np
+
+        shifts = np.arange(64, dtype=np.int64)
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            ids_out, sh_out = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = set(text.split(" "))
+                h = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
+                        )
+                        >> 4
+                        for t in toks
+                    ),
+                    dtype=np.int64,
+                    count=len(toks),
+                )
+                ones = ((h[:, None] >> shifts) & 1).sum(axis=0, dtype=np.int64)
+                votes = 2 * ones - len(toks)
+                sh = int((weights * (votes > 0)).sum(dtype=np.uint64))
+                if sh >= 1 << 63:
+                    sh -= 1 << 64
+                ids_out.append(did)
+                sh_out.append(sh)
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids_out, dtype="int64"),
+                    "sh": pd.Series(sh_out, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema="id long, sh long")
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
@@ -317,39 +426,129 @@ def simhash_near_duplicates(
             f"blocks, but block_bits={block_bits} gives only {n_blocks}; "
             f"use block_bits <= {64 // (max_hamming + 1)}"
         )
-    sim = simhash64_agg(df, text_col=text_col, id_col=id_col, hash_fn=hash_fn)
-    blocked = sim.select(
-        "id",
+    # materialize the (id, sh) table once: it feeds the distinct-value
+    # pass, both expansion joins and the same-cluster self-join, and the
+    # simhash computation would otherwise recompute per consumer (the
+    # DataFrame mirror of 'write the signature table first').  The portable
+    # md5 tier takes the vectorised Arrow stage; other hash_fns keep the
+    # generic codegen aggregation.
+    from pyspark.sql.types import IntegerType, LongType
+
+    arrow_ok = hash_fn is md5_hash60 and isinstance(
+        df.schema[id_col].dataType, (IntegerType, LongType)
+    )
+    sim_src = (
+        _simhash64_md5_arrow(df, text_col, id_col)
+        if arrow_ok
+        else simhash64_agg(df, text_col=text_col, id_col=id_col, hash_fn=hash_fn)
+    )
+    sim = sim_src.localCheckpoint(eager=True)
+
+    # r6 restructure (guide §2.4/§2.5): the old shape blocked the per-DOC
+    # rows and self-joined them — near-dup clusters share identical
+    # simhashes, so one hot bucket produced collision rows quadratically in
+    # CLUSTER size (at the driver's sf1.0: 535M collision rows, a 10 GB
+    # ``distinct`` exchange, and one straggler task owning half the work).
+    # Pairs are now derived at the DISTINCT-VALUE level first: blocking and
+    # the hamming test depend only on (sh_a, sh_b), so the blocked
+    # self-join runs over unique simhash values (6.7x fewer collision rows
+    # at sf1.0, hot buckets shrunk by the cluster factor), each surviving
+    # value pair is emitted exactly once via the first-shared-block rule (a
+    # codegen CASE — no ``distinct`` exchange at all), and doc pairs
+    # materialise by joining the id table back on sh: cross-cluster pairs
+    # from the value-pair expansion, same-cluster pairs (hamming 0) from an
+    # id self-join on sh.  Every step is whole-stage codegen.
+    def _key(sh: Column, i: int) -> Column:
+        return F.call_function(
+            "shiftright", sh, F.lit(i * block_bits).cast("int")
+        ).bitwiseAND(F.lit((1 << block_bits) - 1))
+
+    values = sim.select("sh").distinct()
+    blocked = values.select(
         "sh",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_blocks - 1)),
-                lambda i: F.struct(
-                    i.alias("block"),
-                    F.call_function("shiftright", F.col("sh"), (i * block_bits).cast("int"))
-                    .bitwiseAND(F.lit((1 << block_bits) - 1))
-                    .alias("key"),
-                ),
-            )
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("block"), _key(F.col("sh"), i).alias("key")
+                )
+                for i in range(n_blocks)
+            ])
         ).alias("bk"),
-    ).select("id", "sh", "bk.block", "bk.key")
-    left = blocked.alias("l")
-    right = blocked.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.block") == F.col("r.block"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.id") < F.col("r.id")),
+    ).select("sh", "bk.block", "bk.key")
+
+    # Value-pair enumeration per bucket runs as a vectorised Arrow group
+    # stage rather than a JVM self-join: a hot bucket (thousands of values
+    # sharing one 12-bit key) would make the join's probe task produce tens
+    # of millions of rows serially, while numpy grinds the same
+    # half-matrix of shift/xor/popcount work at a few ns per pair.  Pure
+    # integer arithmetic — bit-exact by construction.
+    def value_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"sh_a": pd.Series(dtype="int64"), "sh_b": pd.Series(dtype="int64"),
+             "hamming": pd.Series(dtype="int32")}
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"),
+        n = len(pdf)
+        if n < 2:
+            return empty
+        sh = np.sort(pdf["sh"].to_numpy().astype(np.int64))  # sh_a < sh_b
+        shu = sh.view(np.uint64)
+        block_here = int(pdf["block"].iloc[0])
+        mask = np.uint64((1 << block_bits) - 1)
+        keys = np.stack(
+            [(shu >> np.uint64(b * block_bits)) & mask for b in range(n_blocks)],
+            axis=1,
         )
-        .distinct()
+        lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+        a_all, b_all, d_all = [], [], []
+        for lo in range(0, n - 1, 1024):
+            hi = min(lo + 1024, n - 1)
+            counts = n - 1 - np.arange(lo, hi)
+            ia = np.repeat(np.arange(lo, hi), counts)
+            ib = np.concatenate([np.arange(i + 1, n) for i in range(lo, hi)])
+            x = (shu[ia] ^ shu[ib]).view(np.uint8).reshape(-1, 8)
+            ham = lut[x].sum(axis=1).astype(np.int32)
+            keep = ham <= max_hamming
+            ia, ib, ham = ia[keep], ib[keep], ham[keep]
+            if len(ia) == 0:
+                continue
+            first = np.argmax(keys[ia] == keys[ib], axis=1)
+            keep = first == block_here
+            a_all.append(sh[ia[keep]])
+            b_all.append(sh[ib[keep]])
+            d_all.append(ham[keep])
+        if not a_all:
+            return empty
+        return pd.DataFrame(
+            {
+                "sh_a": np.concatenate(a_all),
+                "sh_b": np.concatenate(b_all),
+                "hamming": np.concatenate(d_all),
+            }
+        )
+
+    vpairs = blocked.groupBy("block", "key").applyInPandas(
+        value_pairs, "sh_a long, sh_b long, hamming int"
     )
-    return cand.where(F.col("hamming") <= max_hamming)
+    ga = sim.select(F.col("sh").alias("sh_a"), F.col("id").alias("_ia"))
+    gb = sim.select(F.col("sh").alias("sh_b"), F.col("id").alias("_ib"))
+    cross = vpairs.join(ga, "sh_a").join(gb, "sh_b").select(
+        F.least("_ia", "_ib").alias("id_a"),
+        F.greatest("_ia", "_ib").alias("id_b"),
+        "hamming",
+    )
+    sa = sim.alias("a")
+    sb = sim.alias("b")
+    same = sa.join(
+        sb, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))).alias("hamming"),
+    )
+    return cross.unionByName(same)
 
 
 def neardup_components(

