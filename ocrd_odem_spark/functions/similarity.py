@@ -406,12 +406,14 @@ def lsh_cosine_topk(
 
     c = with_buckets(corpus, "neighbor_id", "_cv")
     q = with_buckets(queries, "query_id", "_qv")
-    scored = c.join(F.broadcast(q), ["t", "sig"]).where(
+    paired = c.join(F.broadcast(q), ["t", "sig"]).where(
         F.col("neighbor_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("_cv"), F.col("_qv")), 6).alias("sim"),
+    ).select("query_id", "neighbor_id", "_cv", "_qv")
+    # r6: vectorised Arrow pair scoring replaces the interpreted 3-fold
+    # cosine HOF — bit-identical sims (see ``_np_fold_dot``), so the
+    # cross-table ``distinct`` dedups exactly as before
+    scored = _score_pairs_arrow(paired, "_cv", "_qv").select(
+        "query_id", "neighbor_id", F.round(F.col("sim"), 6).alias("sim")
     ).distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
@@ -491,6 +493,52 @@ def ranked_centroids(vec: Column, centroids: list[tuple[int, list[float]]]) -> C
     return _let(_quantized(vec), rank_with)
 
 
+def _ranked_cells_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[tuple[int, list[float]]],
+    n_keep: int,
+) -> DataFrame:
+    """(id, vec, cids) with the first ``n_keep`` centroid ids ranked by
+    quantized inner product DESC (tie -> lowest cid) — the vectorised
+    mirror of ``ranked_centroids``/``F.slice`` (bit-identical: the
+    quantized dots are exact integers, and a stable argsort over the
+    cid-ordered centroid matrix reproduces the low-cid tie break)."""
+    import numpy as np
+    import pandas as pd
+
+    cids_sorted = [int(cid) for cid, _ in centroids]
+    assert cids_sorted == sorted(cids_sorted), "centroids must be cid-ordered"
+    C = np.floor(
+        np.asarray([cvec for _cid, cvec in centroids], dtype=np.float64)
+        * _Q_SCALE
+    ).astype(np.int64)
+    cid_arr = np.asarray(cids_sorted, dtype=np.int64)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"id": [], "vec": [], "cids": []})
+                continue
+            V = np.floor(
+                np.asarray(pdf[vec_col].tolist(), dtype=np.float64) * _Q_SCALE
+            ).astype(np.int64)
+            dots = V @ C.T  # exact: |vq| < 2^20, dim 64 -> |dot| < 2^46
+            order = np.argsort(-dots, axis=1, kind="stable")[:, :n_keep]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "vec": pdf[vec_col],
+                    "cids": [list(map(int, cid_arr[row])) for row in order],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, schema="id long, vec array<float>, cids array<int>"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -508,23 +556,30 @@ def ivf_topk(
     degrades gracefully to exact brute force (tested), which is the
     recall dial's upper end.  Same output shape as ``cosine_topk``.
     """
-    ranked = ranked_centroids(F.col(vec_col), centroids)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        F.get(ranked, 0).alias("cid"),
+    # r6: the corpus/query cell assignment runs as one vectorised Arrow
+    # stage (still a narrow, shuffle-free projection — mapInPandas adds no
+    # exchange) instead of the interpreted quantize->k-dots->array_sort HOF
+    # per row; ranked_centroids stays the plan-literal serving form for
+    # callers that need a pure-JVM plan.  Ranking is bit-identical: integer
+    # dot products are exact in both forms (< 2^53) and ties break to the
+    # lowest cid (argsort stable over cid-ordered centroids).
+    ranked_c = _ranked_cells_arrow(corpus, id_col, vec_col, centroids, 1)
+    c = ranked_c.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("_cv"),
+        F.get("cids", 0).alias("cid"),
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        F.explode(F.slice(ranked, 1, n_probe)).alias("cid"),
+    ranked_q = _ranked_cells_arrow(queries, id_col, vec_col, centroids, n_probe)
+    q = ranked_q.select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("_qv"),
+        F.explode("cids").alias("cid"),
     )
-    scored = c.join(F.broadcast(q), "cid").where(
+    paired = c.join(F.broadcast(q), "cid").where(
         F.col("neighbor_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("_cv"), F.col("_qv")), 6).alias("sim"),
+    ).select("query_id", "neighbor_id", "_cv", "_qv")
+    scored = _score_pairs_arrow(paired, "_cv", "_qv").select(
+        "query_id", "neighbor_id", F.round(F.col("sim"), 6).alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (

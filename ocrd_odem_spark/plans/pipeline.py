@@ -110,9 +110,9 @@ def extract(
     * ``dehyphenate``: run the per-page wrap-merge fold (quality path T4).
     """
     if mode == "arrow":
-        if page_meta is not None or doc_meta is not None or with_metrics:
+        if page_meta is not None or doc_meta is not None:
             raise ValueError("arrow mode supports the bare extract path only")
-        return extract_arrow(docs, dehyphenate=dehyphenate)
+        return extract_arrow(docs, dehyphenate=dehyphenate, with_metrics=with_metrics)
     if mode != "hof":
         raise ValueError(f"unknown mode {mode!r}")
     out = docs
@@ -169,7 +169,9 @@ def extract(
     return result.select(*cols)
 
 
-def extract_arrow(docs: DataFrame, dehyphenate: bool = False) -> DataFrame:
+def extract_arrow(
+    docs: DataFrame, dehyphenate: bool = False, with_metrics: bool = False
+) -> DataFrame:
     """Arrow-batched extraction: ``mapInPandas`` running the exact oracle
     loops per document.
 
@@ -179,21 +181,29 @@ def extract_arrow(docs: DataFrame, dehyphenate: bool = False) -> DataFrame:
     tight loops — measured ~2.7x faster on the bench corpus at identical
     output.  It is still narrow (no shuffle), still per-partition parallel,
     and the payload crosses the Arrow boundary exactly twice.
+
+    ``with_metrics`` (r6): the same per-document loop also counts the hof
+    tier's metric columns — pages/lines/tokens out, input text lines, and
+    the de-hyphenation merge count — value-identical to the hof
+    expressions (pinned by ``test_r06_optimizations``).
     """
     import pandas as pd
 
     from ..oracle import dehyphenate_lines, postprocess_line_tokens
 
-    def extract_rows(spans) -> list[tuple]:
+    def extract_rows(spans):
         """Fast path of the oracle loops over the Arrow-delivered span
         dicts (no intermediate copies).  Semantics proven identical to the
         oracle by the dual-mode equality tests."""
         ordered = sorted(spans, key=lambda s: s["offset"])
         out: list[tuple] = []
+        n_lines_in = 0
+        n_merges = 0
         for s in ordered:
             if s["kind"] == "media":
                 out.append(("media", s["text"], s["media_ref"]))
                 continue
+            n_lines_in += 1
             toks = postprocess_line_tokens((s["text"] or "").split(" "))
             if toks:
                 out.append(("text", " ".join(toks), s["media_ref"]))
@@ -202,39 +212,70 @@ def extract_arrow(docs: DataFrame, dehyphenate: bool = False) -> DataFrame:
             page_lines: list[str] = []
             page_ref: str | None = None
 
-            def flush() -> None:
+            def flush() -> int:
+                n = 0
                 if page_lines:
-                    for text in dehyphenate_lines(page_lines)[0]:
+                    lines, n = dehyphenate_lines(page_lines)
+                    for text in lines:
                         merged.append(("text", text, page_ref))
                     page_lines.clear()
+                return n
 
             for row in out:
                 if row[0] == "media":
-                    flush()
+                    n_merges += flush()
                     page_ref = row[2]
                     merged.append(row)
                 else:
                     if row[2] != page_ref:
-                        flush()
+                        n_merges += flush()
                         page_ref = row[2]
                     page_lines.append(row[1])
-            flush()
+            n_merges += flush()
             out = merged
-        return [(k, t, r, i) for i, (k, t, r) in enumerate(out)]
+        return [(k, t, r, i) for i, (k, t, r) in enumerate(out)], n_lines_in, n_merges
 
     def run(batches):
         for pdf in batches:
             out = [
-                (rec.doc_id, extract_rows(rec.spans))
+                (rec.doc_id, extract_rows(rec.spans)[0])
                 for rec in pdf.itertuples(index=False)
             ]
             yield pd.DataFrame(out, columns=["doc_id", "spans"])
 
-    schema = (
-        "doc_id string, spans array<struct<"
-        "kind:string,text:string,media_ref:string,offset:int>>"
+    def run_metrics(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                spans, n_lines_in, n_merges = extract_rows(rec.spans)
+                n_pages = sum(1 for s in spans if s[0] == "media")
+                n_lines_out = len(spans) - n_pages
+                # split(' ') semantics: n_tokens = count(' ') + 1 per line
+                n_tokens_out = sum(
+                    s[1].count(" ") + 1 for s in spans if s[0] == "text"
+                )
+                rows.append(
+                    (rec.doc_id, spans, n_pages, n_lines_in, n_lines_out,
+                     n_tokens_out, n_merges)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "spans", "n_pages", "n_lines_in",
+                         "n_lines_out", "n_tokens_out", "n_dehyphenated"],
+            )
+
+    span_t = (
+        "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
     )
-    return docs.select("doc_id", "spans").mapInPandas(run, schema=schema)
+    if with_metrics:
+        schema = (
+            f"doc_id string, spans {span_t}, n_pages long, n_lines_in long, "
+            "n_lines_out long, n_tokens_out long, n_dehyphenated long"
+        )
+        return docs.select("doc_id", "spans").mapInPandas(run_metrics, schema=schema)
+    return docs.select("doc_id", "spans").mapInPandas(
+        run, schema=f"doc_id string, spans {span_t}"
+    )
 
 
 def relevance_filter(doc_meta: DataFrame) -> DataFrame:

@@ -66,45 +66,65 @@ class StateStore:
         os.makedirs(path, exist_ok=True)
 
     def done_buckets(self, spark: SparkSession) -> list[int]:
+        """Distinct done bucket ids.
+
+        r6: read directly with pyarrow — the state table is metadata-scale
+        (one row per bucket), so a Spark job here was pure scheduler
+        overhead (guide §1.2: remove work, then tune); the parquet layout
+        is unchanged and ``metrics()`` still serves the table as a
+        DataFrame."""
+        import pyarrow.parquet as pq
+
         files = [f for f in os.listdir(self.path) if f.endswith(".parquet")]
-        if not files:
-            return []
-        df = spark.read.schema(STATE_SCHEMA).parquet(self.path)
-        return [
-            r["bucket"]
-            for r in df.where(F.col("state") == MARK_DONE).select("bucket").distinct().collect()
-        ]
+        done: set[int] = set()
+        for name in files:
+            t = pq.read_table(
+                os.path.join(self.path, name), columns=["bucket", "state"]
+            )
+            for b, st in zip(t.column("bucket").to_pylist(),
+                             t.column("state").to_pylist()):
+                if st == MARK_DONE:
+                    done.add(int(b))
+        return sorted(done)
 
     def mark_done(self, spark: SparkSession, rows: list[dict], run_id: str) -> None:
         """Append one done-record per bucket (atomic single-file write).
 
         Lineage per bucket: docs, spans emitted, pages parsed (media spans)
         and de-hyphenation fixes — the reference's extraction metrics
-        (pages / spans / dehyph counts) per partition."""
-        df = spark.createDataFrame(
-            [
-                {
-                    "bucket": int(r["bucket"]),
-                    "state": MARK_DONE,
-                    "n_docs": int(r["n_docs"]),
-                    "n_spans_out": int(r["n_spans_out"]),
-                    "n_pages": int(r.get("n_pages", 0)),
-                    "n_dehyphenated": int(r.get("n_dehyphenated", 0)),
-                    "run_id": run_id,
-                }
-                for r in rows
-            ],
-            STATE_SCHEMA,
+        (pages / spans / dehyph counts) per partition.
+
+        r6: written with pyarrow (same schema/layout — ``metrics()`` and
+        old readers are unaffected): a Spark job to persist a
+        bucket-per-row metadata table cost two scheduler round-trips per
+        run."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.table(
+            {
+                "bucket": pa.array([int(r["bucket"]) for r in rows], pa.int32()),
+                "state": pa.array([MARK_DONE] * len(rows), pa.string()),
+                "n_docs": pa.array([int(r["n_docs"]) for r in rows], pa.int64()),
+                "n_spans_out": pa.array(
+                    [int(r["n_spans_out"]) for r in rows], pa.int64()
+                ),
+                "n_pages": pa.array(
+                    [int(r.get("n_pages", 0)) for r in rows], pa.int64()
+                ),
+                "n_dehyphenated": pa.array(
+                    [int(r.get("n_dehyphenated", 0)) for r in rows], pa.int64()
+                ),
+                "run_id": pa.array([run_id] * len(rows), pa.string()),
+            }
         )
-        tmp = os.path.join(os.path.dirname(self.path), f"_state_tmp_{uuid.uuid4().hex}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        for name in os.listdir(tmp):
-            if name.endswith(".parquet"):
-                shutil.move(
-                    os.path.join(tmp, name),
-                    os.path.join(self.path, f"{run_id}_{uuid.uuid4().hex}.parquet"),
-                )
-        shutil.rmtree(tmp, ignore_errors=True)
+        tmp = os.path.join(
+            os.path.dirname(self.path), f"_state_tmp_{uuid.uuid4().hex}.parquet"
+        )
+        pq.write_table(table, tmp)
+        os.replace(
+            tmp, os.path.join(self.path, f"{run_id}_{uuid.uuid4().hex}.parquet")
+        )
 
     def metrics(self, spark: SparkSession) -> DataFrame:
         return spark.read.schema(STATE_SCHEMA).parquet(self.path)
@@ -229,7 +249,16 @@ def _run_with_checkpoint_locked(
     )
 
     staging = os.path.join(output_path, f"_staging_{run_id}")
-    out.write.mode("overwrite").partitionBy("_bucket").parquet(staging)
+    # r6 (guide §6 output sizing): align write tasks with the publish unit —
+    # without the repartition every upstream partition wrote a sliver into
+    # every bucket dir (partitions x buckets files, e.g. 32x16=512 per run);
+    # one exchange of the output keyed on the bucket id yields one
+    # well-sized file per bucket, which the stats aggregation, the rename
+    # loop and every later read pay for.  The transform still runs at full
+    # upstream parallelism (the exchange is downstream of it).
+    out.repartition(n_buckets, "_bucket").write.mode("overwrite").partitionBy(
+        "_bucket"
+    ).parquet(staging)
 
     # ONE aggregation over the whole staging dir for every bucket's lineage
     # stats — not one Spark job per bucket (512 buckets were 512 serial

@@ -155,3 +155,57 @@ def test_cosine_near_duplicates_matches_reference_shape(spark):
     assert (1, 2) in {(r["id_a"], r["id_b"]) for r in out}
     for r in out:
         assert r["sim"] >= 0.9
+
+
+def test_extract_arrow_metrics_match_hof(spark):
+    """Arrow metrics tier == hof metric expressions, value for value, on a
+    corpus with empty lines, hyphen wraps, dropped pages and multi-page
+    docs (the derived sf0.001 span corpus)."""
+    from ocrd_odem_spark.plans import pipeline, queries
+
+    docs = queries.docs_nested_df(spark, "/root/testdata/sf0.001")
+    cols = ["doc_id", "n_pages", "n_lines_in", "n_lines_out",
+            "n_tokens_out", "n_dehyphenated"]
+    for dehyph in (False, True):
+        hof = {
+            r["doc_id"]: tuple(r)
+            for r in pipeline.extract(
+                docs, dehyphenate=dehyph, with_metrics=True, mode="hof"
+            ).select(*cols).collect()
+        }
+        arrow = {
+            r["doc_id"]: tuple(r)
+            for r in pipeline.extract(
+                docs, dehyphenate=dehyph, with_metrics=True, mode="arrow"
+            ).select(*cols).collect()
+        }
+        assert arrow == hof
+
+
+def test_ivf_arrow_assignment_matches_literal_ranking(spark):
+    """_ranked_cells_arrow == ranked_centroids/F.slice for assignment AND
+    probe ranking (ties included: duplicated centroid forces a dot tie)."""
+    from pyspark.sql import functions as F
+
+    from ocrd_odem_spark.functions import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where("vec_id < 3").collect()
+    )
+    cents.append((3, cents[0][1]))  # duplicate centroid -> exact dot ties
+    ranked = similarity.ranked_centroids(F.col("embedding"), cents)
+    hof = {
+        r["vec_id"]: tuple(r["cids"])
+        for r in emb.select(
+            "vec_id", F.slice(ranked, 1, 2).alias("cids")
+        ).collect()
+    }
+    fast = {
+        r["id"]: tuple(r["cids"])
+        for r in similarity._ranked_cells_arrow(
+            emb, "vec_id", "embedding", cents, 2
+        ).collect()
+    }
+    assert fast == hof
