@@ -476,61 +476,82 @@ def simhash_near_duplicates(
         ).alias("bk"),
     ).select("sh", "bk.block", "bk.key")
 
-    # Value-pair enumeration per bucket runs as a vectorised Arrow group
-    # stage rather than a JVM self-join: a hot bucket (thousands of values
+    # Value-pair enumeration per bucket runs as a vectorised Arrow stage
+    # rather than a JVM self-join: a hot bucket (thousands of values
     # sharing one 12-bit key) would make the join's probe task produce tens
     # of millions of rows serially, while numpy grinds the same
     # half-matrix of shift/xor/popcount work at a few ns per pair.  Pure
     # integer arithmetic — bit-exact by construction.
-    def value_pairs(pdf):
+    #
+    # r6.2: ``groupBy().applyInPandas`` paid one Arrow batch + one Python
+    # call PER BUCKET (tens of thousands of near-empty buckets at sf1.0 —
+    # the per-group overhead dwarfed the numpy work).  Same exchange, but
+    # now ``repartition(block, key)`` + ``mapInPandas``: each task sorts
+    # its whole partition once and walks bucket slices with numpy — the
+    # per-group cost collapses to a slice view.  Hash partitioning
+    # co-locates every bucket wholly in one partition; rows are (sh,
+    # block, key) — value-level, never documents — so concatenating a
+    # partition is metadata-scale memory.
+    def value_pairs_part(batches):
         import numpy as np
         import pandas as pd
 
-        empty = pd.DataFrame(
-            {"sh_a": pd.Series(dtype="int64"), "sh_b": pd.Series(dtype="int64"),
-             "hamming": pd.Series(dtype="int32")}
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        order = np.lexsort(
+            (pdf["sh"].to_numpy(), pdf["key"].to_numpy(), pdf["block"].to_numpy())
         )
-        n = len(pdf)
-        if n < 2:
-            return empty
-        sh = np.sort(pdf["sh"].to_numpy().astype(np.int64))  # sh_a < sh_b
-        shu = sh.view(np.uint64)
-        block_here = int(pdf["block"].iloc[0])
+        sh_all = pdf["sh"].to_numpy().astype(np.int64)[order]
+        blk_all = pdf["block"].to_numpy()[order]
+        key_all = pdf["key"].to_numpy()[order]
+        boundary = np.flatnonzero(
+            np.diff(blk_all) .astype(bool) | np.diff(key_all).astype(bool)
+        )
+        starts = np.concatenate(([0], boundary + 1))
+        ends = np.concatenate((boundary + 1, [len(sh_all)]))
         mask = np.uint64((1 << block_bits) - 1)
-        keys = np.stack(
-            [(shu >> np.uint64(b * block_bits)) & mask for b in range(n_blocks)],
-            axis=1,
-        )
         lut = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
         a_all, b_all, d_all = [], [], []
-        for lo in range(0, n - 1, 1024):
-            hi = min(lo + 1024, n - 1)
-            counts = n - 1 - np.arange(lo, hi)
-            ia = np.repeat(np.arange(lo, hi), counts)
-            ib = np.concatenate([np.arange(i + 1, n) for i in range(lo, hi)])
-            x = (shu[ia] ^ shu[ib]).view(np.uint8).reshape(-1, 8)
-            ham = lut[x].sum(axis=1).astype(np.int32)
-            keep = ham <= max_hamming
-            ia, ib, ham = ia[keep], ib[keep], ham[keep]
-            if len(ia) == 0:
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
                 continue
-            first = np.argmax(keys[ia] == keys[ib], axis=1)
-            keep = first == block_here
-            a_all.append(sh[ia[keep]])
-            b_all.append(sh[ib[keep]])
-            d_all.append(ham[keep])
-        if not a_all:
-            return empty
-        return pd.DataFrame(
-            {
-                "sh_a": np.concatenate(a_all),
-                "sh_b": np.concatenate(b_all),
-                "hamming": np.concatenate(d_all),
-            }
-        )
+            sh = sh_all[s:e]  # sorted ascending within the bucket -> a < b
+            shu = sh.view(np.uint64)
+            block_here = int(blk_all[s])
+            keys = np.stack(
+                [(shu >> np.uint64(b * block_bits)) & mask for b in range(n_blocks)],
+                axis=1,
+            )
+            for lo in range(0, n - 1, 1024):
+                hi = min(lo + 1024, n - 1)
+                counts = n - 1 - np.arange(lo, hi)
+                ia = np.repeat(np.arange(lo, hi), counts)
+                ib = np.concatenate([np.arange(i + 1, n) for i in range(lo, hi)])
+                x = (shu[ia] ^ shu[ib]).view(np.uint8).reshape(-1, 8)
+                ham = lut[x].sum(axis=1).astype(np.int32)
+                keep = ham <= max_hamming
+                ia, ib, ham = ia[keep], ib[keep], ham[keep]
+                if len(ia) == 0:
+                    continue
+                first = np.argmax(keys[ia] == keys[ib], axis=1)
+                keep = first == block_here
+                a_all.append(sh[ia[keep]])
+                b_all.append(sh[ib[keep]])
+                d_all.append(ham[keep])
+        if a_all:
+            yield pd.DataFrame(
+                {
+                    "sh_a": np.concatenate(a_all),
+                    "sh_b": np.concatenate(b_all),
+                    "hamming": np.concatenate(d_all),
+                }
+            )
 
-    vpairs = blocked.groupBy("block", "key").applyInPandas(
-        value_pairs, "sh_a long, sh_b long, hamming int"
+    vpairs = blocked.repartition("block", "key").mapInPandas(
+        value_pairs_part, "sh_a long, sh_b long, hamming int"
     )
     ga = sim.select(F.col("sh").alias("sh_a"), F.col("id").alias("_ia"))
     gb = sim.select(F.col("sh").alias("sh_b"), F.col("id").alias("_ib"))

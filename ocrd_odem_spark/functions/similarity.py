@@ -300,57 +300,75 @@ def cosine_near_duplicates(
         "id", "sigs", "vec", F.posexplode("sigs").alias("t", "sig")
     )
 
-    def bucket_pairs(pdf):
+    # r6.2: same exchange as the old ``groupBy().applyInPandas`` but the
+    # per-BUCKET Python/Arrow call overhead (tens of thousands of small
+    # buckets: n_tables x signatures) collapses into one call per
+    # PARTITION — the task sorts its partition by (t, sig, id) once and
+    # walks bucket slices with numpy.  Hash partitioning co-locates each
+    # bucket wholly; partition memory is the same signature+vec rows the
+    # old form shuffled.
+    def bucket_pairs_part(batches):
         import numpy as np
         import pandas as pd
 
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-                 "sim": pd.Series(dtype="float64")}
-            )
-        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
-        ids = pdf["id"].to_numpy()[order]
-        SA = np.stack([np.asarray(s, dtype=np.int64) for s in pdf["sigs"]])[order]
-        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])[order]
-        t_here = int(pdf["t"].iloc[0])
-        norms = np.sqrt(_np_fold_dot(V, V))
-        ia_all, ib_all, sim_all = [], [], []
-        # chunk the i side so a pathological bucket stays memory-bounded
-        for lo in range(0, n - 1, 1024):
-            hi = min(lo + 1024, n - 1)
-            counts = n - 1 - np.arange(lo, hi)
-            ia = np.repeat(np.arange(lo, hi), counts)
-            ib = np.concatenate([np.arange(i + 1, n) for i in range(lo, hi)])
-            if len(ia) == 0:
-                continue
-            # first shared table decides ownership: emit only when it is
-            # THIS group's table (cross-table dedup without an exchange)
-            first = np.argmax(SA[ia] == SA[ib], axis=1)
-            keep = first == t_here
-            ia, ib = ia[keep], ib[keep]
-            if len(ia) == 0:
-                continue
-            dots = _np_fold_dot(V[ia], V[ib])
-            ia_all.append(ids[ia])
-            ib_all.append(ids[ib])
-            sim_all.append(dots / (norms[ia] * norms[ib]))
-        if not ia_all:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-                 "sim": pd.Series(dtype="float64")}
-            )
-        return pd.DataFrame(
-            {
-                "id_a": np.concatenate(ia_all),
-                "id_b": np.concatenate(ib_all),
-                "sim": np.concatenate(sim_all),
-            }
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        order = np.lexsort(
+            (pdf["id"].to_numpy(), pdf["sig"].to_numpy(), pdf["t"].to_numpy())
         )
+        ids_all = pdf["id"].to_numpy()[order]
+        t_all = pdf["t"].to_numpy()[order]
+        sig_all = pdf["sig"].to_numpy()[order]
+        SA_all = np.stack([np.asarray(s, dtype=np.int64) for s in pdf["sigs"]])[order]
+        V_all = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]])[order]
+        norms_all = np.sqrt(_np_fold_dot(V_all, V_all))
+        boundary = np.flatnonzero(
+            np.diff(t_all).astype(bool) | np.diff(sig_all).astype(bool)
+        )
+        starts = np.concatenate(([0], boundary + 1))
+        ends = np.concatenate((boundary + 1, [len(ids_all)]))
+        ia_all, ib_all, sim_all = [], [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            ids = ids_all[s:e]  # sorted ascending -> id_a < id_b
+            SA = SA_all[s:e]
+            V = V_all[s:e]
+            norms = norms_all[s:e]
+            t_here = int(t_all[s])
+            # chunk the i side so a pathological bucket stays memory-bounded
+            for lo in range(0, n - 1, 1024):
+                hi = min(lo + 1024, n - 1)
+                counts = n - 1 - np.arange(lo, hi)
+                ia = np.repeat(np.arange(lo, hi), counts)
+                ib = np.concatenate([np.arange(i + 1, n) for i in range(lo, hi)])
+                if len(ia) == 0:
+                    continue
+                # first shared table decides ownership: emit only when it
+                # is THIS bucket's table (cross-table dedup, no exchange)
+                first = np.argmax(SA[ia] == SA[ib], axis=1)
+                keep = first == t_here
+                ia, ib = ia[keep], ib[keep]
+                if len(ia) == 0:
+                    continue
+                dots = _np_fold_dot(V[ia], V[ib])
+                ia_all.append(ids[ia])
+                ib_all.append(ids[ib])
+                sim_all.append(dots / (norms[ia] * norms[ib]))
+        if ia_all:
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(ia_all),
+                    "id_b": np.concatenate(ib_all),
+                    "sim": np.concatenate(sim_all),
+                }
+            )
 
-    scored = exploded.groupBy("t", "sig").applyInPandas(
-        bucket_pairs, "id_a long, id_b long, sim double"
+    scored = exploded.repartition("t", "sig").mapInPandas(
+        bucket_pairs_part, "id_a long, id_b long, sim double"
     )
     return scored.select(
         "id_a", "id_b", F.round(F.col("sim"), 6).alias("sim")

@@ -193,16 +193,76 @@ def _line_marks(lines: Column) -> Column:
     return _let(_line_pairs(lines), with_pairs)
 
 
-def page_text_stats(docs: DataFrame, minlen: int = 2) -> DataFrame:
+def page_text_stats_flat(flat: DataFrame, minlen: int = 2) -> DataFrame:
+    """Arrow tier of ``page_text_stats`` over FLAT text spans
+    ``(doc_id, media_ref, offset, text)``.
+
+    r6 (guide §4.2): the per-page pipeline (order lines, wrap-merge fold,
+    char scrub, densify) runs as ``oracle.textlines_to_data`` — the pinned
+    ground-truth loop — inside one ``mapInPandas`` stage after a single
+    codegen ``collect_list`` regroup.  The HOF tier interpreted the fold +
+    sanitize per element (CodegenFallback); results are value-identical
+    (``test_r06_optimizations``).  Flat input also lets callers that
+    already hold flat spans (q34/q42) skip the nest-then-explode round
+    trip, halving the exchanges.
+    """
+    import pandas as pd
+
+    from ..oracle import textlines_to_data
+
+    pages = flat.groupBy("doc_id", "media_ref").agg(
+        F.collect_list(
+            F.struct(F.col("offset").alias("o"), F.col("text").alias("t"))
+        ).alias("items")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                lines = [
+                    it["t"] for it in sorted(rec.items, key=lambda x: x["o"])
+                ]
+                st = textlines_to_data(lines, minlen)
+                rows.append(
+                    (rec.doc_id, rec.media_ref, st.file_string, st.n_lines,
+                     st.n_normalized, st.n_sparse, st.n_dense)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_ref", "file_string", "n_lines",
+                         "n_normalized", "n_sparse", "n_dense"],
+            )
+
+    return pages.mapInPandas(
+        run,
+        schema="doc_id string, media_ref string, file_string string, "
+        "n_lines long, n_normalized long, n_sparse long, n_dense long",
+    )
+
+
+def page_text_stats(docs: DataFrame, minlen: int = 2, mode: str = "hof") -> DataFrame:
     """A3/A4 dataset: one row per page with the reference's
     ``(file_string, n_lines, n_normalized, n_sparse, n_dense)`` tuple.
 
     Input: nested (doc_id, spans).  One shuffle (page regroup); everything
-    else is narrow HOF work on small per-page arrays.
+    else is narrow per-page work.  ``mode="arrow"`` runs the page pipeline
+    through the vectorised tier (``page_text_stats_flat``) — value-identical,
+    same single-exchange shape.
     """
     flat = docs.select("doc_id", F.explode("spans").alias("s")).where(
         F.col("s.kind") == "text"
     )
+    if mode == "arrow":
+        return page_text_stats_flat(
+            flat.select(
+                "doc_id",
+                F.col("s.media_ref").alias("media_ref"),
+                F.col("s.offset").alias("offset"),
+                F.col("s.text").alias("text"),
+            ),
+            minlen,
+        )
     pages = flat.groupBy("doc_id", F.col("s.media_ref").alias("media_ref")).agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("s.offset").alias("o"), F.col("s.text").alias("t"))),

@@ -119,8 +119,32 @@ def _q02_select(dialect: str) -> str:
 
 
 def q02_spark(spark, sf_dir):
-    load_views(spark, sf_dir)
-    return spark.sql(f"WITH {derive.spans_cte(SPARK)} {_q02_select(SPARK)}")
+    """r6: token post-processing via the pinned oracle loop in one Arrow
+    stage (guide §4.2) — the SQL tier evaluated the per-token CASE lambda
+    interpreted (CodegenFallback).  Values identical: the expression form
+    and ``oracle.postprocess_line_tokens`` are the same semantics proven
+    equal by the extract-tier tests, and the DuckDB oracle text below is
+    unchanged."""
+    import pandas as pd
+
+    from ..oracle import postprocess_line_tokens
+
+    sp = spans_df(spark, sf_dir).where(F.col("kind") == "text").select(
+        "doc_id", "media_ref", "offset", "text"
+    )
+
+    def run(batches):
+        for pdf in batches:
+            texts = [
+                " ".join(postprocess_line_tokens((t or "").split(" ")))
+                for t in pdf["text"]
+            ]
+            out = pdf.drop(columns=["text"]).assign(text_out=texts)
+            yield out[out["text_out"] != ""]
+
+    return sp.mapInPandas(
+        run, "doc_id string, media_ref string, offset int, text_out string"
+    )
 
 
 Q02_ORACLE = f"WITH {derive.spans_cte(DUCKDB)} {_q02_select(DUCKDB)}"
@@ -819,10 +843,18 @@ FROM q GROUP BY 1"""
 
 
 def q34_page_stats_spark(spark, sf_dir):
-    """A3/A4 quality-path dataset: textlines2data per page over RAW lines."""
-    from ..operators.quality import page_text_stats
+    """A3/A4 quality-path dataset: textlines2data per page over RAW lines.
 
-    return page_text_stats(docs_nested_df(spark, sf_dir))
+    r6: feeds the FLAT derived spans straight into the Arrow page tier —
+    the old path nested them (from_flat: exchange + interpreted sort) only
+    to explode again; now one exchange total and the per-page pipeline
+    runs vectorised (value-identical, test-pinned)."""
+    from ..operators.quality import page_text_stats_flat
+
+    sp = spans_df(spark, sf_dir).where(F.col("kind") == "text")
+    return page_text_stats_flat(
+        sp.select("doc_id", "media_ref", "offset", "text")
+    )
 
 
 def _q34_oracle() -> str:
@@ -1243,10 +1275,11 @@ FROM page_meta_input GROUP BY doc_id"""
 
 def q42_quality_vocab_spark(spark, sf_dir):
     """A4: vocabulary-backed quality estimation over the per-page dataset."""
-    from ..operators.quality import estimate_page_quality, page_text_stats
+    from ..operators.quality import estimate_page_quality, page_text_stats_flat
 
     load_views(spark, sf_dir)
-    ps = page_text_stats(docs_nested_df(spark, sf_dir))
+    sp = spans_df(spark, sf_dir).where(F.col("kind") == "text")
+    ps = page_text_stats_flat(sp.select("doc_id", "media_ref", "offset", "text"))
     vocab = spark.sql(
         "SELECT DISTINCT explode(split(text, ' ')) AS word "
         "FROM documents WHERE doc_id % 10 = 0"

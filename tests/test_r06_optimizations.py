@@ -209,3 +209,21 @@ def test_ivf_arrow_assignment_matches_literal_ranking(spark):
         ).collect()
     }
     assert fast == hof
+
+
+def test_page_text_stats_arrow_matches_hof(spark):
+    """Flat Arrow page-stats tier == the HOF tier, value for value, over
+    the derived sf0.001 corpus (empty lines, wraps, sanitize edge chars)."""
+    from ocrd_odem_spark.operators.quality import page_text_stats
+    from ocrd_odem_spark.plans import queries
+
+    docs = queries.docs_nested_df(spark, "/root/testdata/sf0.001")
+    hof = {
+        (r["doc_id"], r["media_ref"]): tuple(r)
+        for r in page_text_stats(docs).collect()
+    }
+    arrow = {
+        (r["doc_id"], r["media_ref"]): tuple(r)
+        for r in page_text_stats(docs, mode="arrow").collect()
+    }
+    assert arrow == hof
