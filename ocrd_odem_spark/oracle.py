@@ -58,6 +58,10 @@ _ODEM_SET = frozenset(ODEM_PUNCTUATIONS)
 _WIDE_SET = frozenset(PUNCTUATIONS)
 _BAD_SET = frozenset(BAD_CHARS_SANITIZE)
 _MARK_SET = frozenset(CLEAR_MARKS)
+#: delete-map form of _ODEM_SET for str.translate — C-speed "is the token
+#: punctuation-only" check (r6: this loop is the arrow extract tier's hot
+#: path, and per-char set membership in Python was 40% of it)
+_ODEM_DEL = {ord(c): None for c in ODEM_PUNCTUATIONS}
 
 
 def is_fully_punctuated(token: str) -> bool:
@@ -66,7 +70,7 @@ def is_fully_punctuated(token: str) -> bool:
     The empty string qualifies (it translates to '' as well), which is what
     makes blank tokens fall out in the same branch as pure punctuation.
     """
-    return all(ch in _ODEM_SET for ch in token)
+    return not token.translate(_ODEM_DEL)
 
 
 def postprocess_line_tokens(tokens: list[str]) -> list[str]:
@@ -80,27 +84,26 @@ def postprocess_line_tokens(tokens: list[str]) -> list[str]:
       3. the remainder (raw minus last char when split, stripped form when
          not) is dropped when shorter than MINIMUM_WORD_LEN.
     """
+    # r6 note: flattened form of the original branch ladder — after the
+    # fully-punctuated drop the stripped token is guaranteed non-empty, so
+    # the `len(stripped) > 0` guards collapse; behaviour is unchanged
+    # (pinned by the oracle-parity and dual-mode tests).
     out: list[str] = []
+    append = out.append
+    odem = _ODEM_SET
+    delmap = _ODEM_DEL
+    min_len = MINIMUM_WORD_LEN
     for raw in tokens:
         stripped = raw.strip()
-        if is_fully_punctuated(stripped):
-            continue
-        keep = stripped
-        punct_token: str | None = None
-        if len(stripped) > 0 and len(raw) > 1 and raw[-1] in _ODEM_SET:
-            keep = raw[:-1]
-            punct_token = raw[-1]
-        elif len(stripped) > 0:
-            # untouched token keeps its raw form when it survives
-            keep = raw
-            # but the min-len check below uses the stripped form
-            if len(stripped) >= MINIMUM_WORD_LEN:
-                out.append(raw)
-            continue
-        if len(keep) >= MINIMUM_WORD_LEN:
-            out.append(keep)
-        if punct_token is not None:
-            out.append(punct_token)
+        if not stripped.translate(delmap):
+            continue  # fully punctuated (or blank) -> dropped
+        if len(raw) > 1 and raw[-1] in odem:
+            keep = raw[:-1]  # split: remainder + final punctuation token
+            if len(keep) >= min_len:
+                append(keep)
+            append(raw[-1])
+        elif len(stripped) >= min_len:
+            append(raw)  # untouched token keeps its raw form
     return out
 
 

@@ -1555,32 +1555,32 @@ def q48_shred_golden_spark(spark, sf_dir):
     (1123596.xml's words-without-line-text row)."""
     from ..xmlparse import shred_xml
 
-    def _read(path):
-        with open(path, encoding="utf-8") as fh:
-            return fh.read()
+    # r6 (guide §5 "the driver should do almost no data work"): the XML
+    # payloads used to ride a driver-built local relation — ~1 MB of
+    # strings crossing py4j on EVERY action (~2.6 s of pure transfer per
+    # run).  Executors now read the fixture files themselves via a native
+    # wholetext scan (one row per file, one task per file — also the
+    # production shape: OCR payloads live in storage, not on the driver).
+    base = F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
+    stem = F.regexp_replace(base, r"\.[^.]*$", "")
 
-    schema = "doc_id string, media_ref string, xml string"
-    rows_d = [
-        (n, os.path.splitext(n)[0], _read(os.path.join(_GOLDEN_RES, n)))
-        for n in _GOLDEN_DEFAULT_FILES
-    ]
-    # 10 fixture files total: coalesce so mapInPandas does not spin up one
-    # Python worker per near-empty default partition
-    out_d = shred_xml(
-        spark.createDataFrame(rows_d, schema).coalesce(2)
-    ).withColumn("variant", F.lit("default"))
-    out_32 = shred_xml(
-        spark.createDataFrame([rows_d[0]], schema).coalesce(1), min_len=32
-    ).withColumn("variant", F.lit("minlen32"))
+    def scan(paths, doc_id_col):
+        return spark.read.text(paths, wholetext=True).select(
+            doc_id_col.alias("doc_id"),
+            stem.alias("media_ref"),
+            F.col("value").alias("xml"),
+        )
+
+    d_paths = [os.path.join(_GOLDEN_RES, n) for n in _GOLDEN_DEFAULT_FILES]
+    out_d = shred_xml(scan(d_paths, base)).withColumn("variant", F.lit("default"))
+    out_32 = shred_xml(scan([d_paths[0]], base), min_len=32).withColumn(
+        "variant", F.lit("minlen32")
+    )
     bundle = sorted(
         glob.glob(os.path.join(_GOLDEN_RES, "1981185920_42296_FULLTEXT", "*.xml"))
     )
-    rows_b = [
-        ("1981185920_42296", os.path.splitext(os.path.basename(f))[0], _read(f))
-        for f in bundle
-    ]
     out_b = shred_xml(
-        spark.createDataFrame(rows_b, schema).coalesce(1), min_len=0
+        scan(bundle, F.lit("1981185920_42296")), min_len=0
     ).withColumn("variant", F.lit("bundle"))
     # NULL-free projection: the error row has NULL line fields; coalesce on
     # BOTH sides so the driver's sorted value-hash never compares NULLs
