@@ -262,17 +262,49 @@ def jaccard_verify(
     shingle_k: int = 3,
     threshold: float = 0.6,
 ) -> DataFrame:
-    """True n-gram Jaccard on candidate pairs; keeps pairs >= threshold."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        token_shingles(F.col(text_col), shingle_k).alias("sh"),
+    """True n-gram Jaccard on candidate pairs; keeps pairs >= threshold.
+
+    r6 (guide §4.2): shingling + set intersection runs as ONE Arrow stage
+    over the attached pair rows instead of the interpreted
+    ``token_shingles`` HOF (per-window slice/array_join lambdas) plus
+    ``array_intersect``/``array_union`` over string arrays.  Exact same
+    values: the Python shingle set mirrors the expression tier string for
+    string (same construction as ``md5_minhash_signatures``), the ratio is
+    one IEEE division either way, and rounding stays JVM-side so
+    ``F.round`` semantics (HALF_UP) are untouched.
+    """
+    import pandas as pd
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
+
+    k = shingle_k
+
+    def shingle_set(text):
+        toks = text.split(" ")
+        m = max(len(toks) - (k - 1), 1)
+        return {" ".join(toks[i : i + k]) for i in range(m)}
+
+    def run(batches):
+        for pdf in batches:
+            sims = []
+            for ta, tb in zip(pdf["_ta"], pdf["_tb"]):
+                if ta is None or tb is None:
+                    sims.append(None)
+                    continue
+                sa, sb = shingle_set(ta), shingle_set(tb)
+                sims.append(len(sa & sb) / len(sa | sb))
+            yield pdf.drop(columns=["_ta", "_tb"]).assign(jaccard=pd.array(sims, dtype="float64"))
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in joined.schema.fields
+        if f.name not in ("_ta", "_tb")
     )
-    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    joined = pairs.join(a, "id_a").join(b, "id_b")
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    scored = joined.mapInPandas(run, schema=f"{fields}, jaccard double")
     return (
-        joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        scored.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 

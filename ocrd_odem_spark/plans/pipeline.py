@@ -429,15 +429,30 @@ def to_flat(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
 
 
-def from_flat(flat: DataFrame) -> DataFrame:
-    """Regroup flat spans into the nested contract shape (one shuffle)."""
-    return flat.groupBy("doc_id").agg(
-        sorted_spans(
-            F.collect_list(
-                _span(F.col("kind"), F.col("text"), F.col("media_ref"), F.col("offset"))
-            )
-        ).alias("spans")
+def from_flat(flat: DataFrame, sort: bool = True) -> DataFrame:
+    """Regroup flat spans into the nested contract shape (one shuffle).
+
+    r6: the offset ordering now comes from a NATURAL ``array_sort`` over an
+    offset-first struct (codegen-friendly field comparison) instead of the
+    interpreted per-comparison lambda; same order wherever offsets are
+    unique per document (the span contract).  ``sort=False`` skips the
+    ordering for consumers that re-sort anyway (``extract`` both modes,
+    ``page_text_stats``) — array order is then partition-dependent, so only
+    use it when the next operator imposes its own order.
+    """
+    collected = F.collect_list(
+        F.struct(
+            F.col("offset").alias("offset"),
+            F.col("kind").alias("kind"),
+            F.col("text").alias("text"),
+            F.col("media_ref").alias("media_ref"),
+        )
     )
+    arr = F.array_sort(collected) if sort else collected
+    spans = F.transform(
+        arr, lambda s: _span(s["kind"], s["text"], s["media_ref"], s["offset"])
+    )
+    return flat.groupBy("doc_id").agg(spans.alias("spans"))
 
 
 def text_bundle(docs: DataFrame) -> DataFrame:
@@ -543,6 +558,119 @@ STAGES = {
     ),
     "reoffset": lambda spans, params: reoffset(spans),
 }
+
+
+def run_pipeline_arrow(docs: DataFrame, stages: list) -> DataFrame:
+    """Arrow executor for a configured stage list (r6, guide §4.2).
+
+    Runs the same normalized ``(name, params)`` chain as ``build_pipeline``
+    but as ONE ``mapInPandas`` stage with Python mirrors of each stage —
+    the HOF form nests an interpreted ``transform`` lambda per stage per
+    span.  Mirrors are exact: literal replaces are ``str.replace`` in dict
+    order (== chained ``F.replace``), the regex stage reuses the same
+    prefix-lookahead rewrite as ``operators.replace.replace_regex`` (and
+    refuses patterns whose replacement could diverge between Java and
+    Python regex syntax), token stages run the pinned oracle loop.
+    Stage-order observability is unchanged — the chain comes from the same
+    INI loader, and a misordered chain changes values exactly as in hof
+    mode.  Raises ``KeyError`` for stages without a mirror (use
+    ``build_pipeline`` for those).
+    """
+    import re as _re
+
+    import pandas as pd
+
+    from ..operators.replace import _esc
+    from ..oracle import postprocess_line_tokens
+
+    normalized = [
+        (s, {}) if isinstance(s, str) else (s[0], s[1] or {}) for s in stages
+    ]
+    for name, _ in normalized:
+        if name not in STAGES:
+            raise KeyError(f"unknown stage {name!r}; known: {sorted(STAGES)}")
+
+    ops: list[tuple[str, object]] = []
+    for name, params in normalized:
+        if name in ("sort", "reoffset", "postprocess", "drop_blank_tokens",
+                    "drop_empty"):
+            ops.append((name, None))
+        elif name == "replace_chars":
+            items = list(params["dict_chars"].items())
+
+            def chain(t, items=items):
+                for old, new in items:
+                    t = t.replace(old, new)
+                return t
+
+            ops.append(("text", chain))
+        elif name == "replace_regex":
+            pattern, old, new = params["pattern"], params["old"], params["new"]
+            if "$" in new or "\\" in new:
+                raise KeyError(
+                    "replace_regex with group references has no arrow "
+                    "mirror; use build_pipeline (hof)"
+                )
+            if pattern.startswith(f"({old}") and pattern.endswith(")"):
+                inner = pattern[1 + len(old):-1]
+                rx = _re.compile(f"{_esc(old)}(?={inner})")
+            else:
+                rx = _re.compile(pattern)
+            ops.append(("text", lambda t, rx=rx, new=new: rx.sub(new, t)))
+        else:
+            raise KeyError(
+                f"stage {name!r} has no arrow mirror; use build_pipeline (hof)"
+            )
+
+    def apply_doc(spans):
+        rows = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+        for op, f in ops:
+            if op == "sort":
+                rows.sort(key=lambda r: r[3])
+            elif op == "reoffset":
+                rows = [(k, t, m, i) for i, (k, t, m, _o) in enumerate(rows)]
+            elif op == "text":
+                rows = [
+                    (k, f(t) if k == "text" else t, m, o) for (k, t, m, o) in rows
+                ]
+            elif op == "postprocess":
+                out = []
+                for k, t, m, o in rows:
+                    if k == "text":
+                        t = " ".join(postprocess_line_tokens((t or "").split(" ")))
+                        if t == "":
+                            continue
+                    out.append((k, t, m, o))
+                rows = out
+            elif op == "drop_blank_tokens":
+                out = []
+                for k, t, m, o in rows:
+                    if k == "text":
+                        t = " ".join(x for x in t.split(" ") if x.strip() != "")
+                        if t == "":
+                            continue
+                    out.append((k, t, m, o))
+                rows = out
+            elif op == "drop_empty":
+                rows = [
+                    (k, t, m, o) for (k, t, m, o) in rows
+                    if k == "media" or len(t.strip(" ")) > 0
+                ]
+        return rows
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                [(rec.doc_id, apply_doc(rec.spans))
+                 for rec in pdf.itertuples(index=False)],
+                columns=["doc_id", "spans"],
+            )
+
+    schema = (
+        "doc_id string, spans array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    return docs.select("doc_id", "spans").mapInPandas(run, schema=schema)
 
 
 def build_pipeline(stages: list) -> "DataFrame -> DataFrame":

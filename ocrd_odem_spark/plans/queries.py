@@ -85,8 +85,12 @@ def spans_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def docs_nested_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derived spans regrouped to the nested (doc_id, spans) contract."""
-    return pipeline.from_flat(spans_df(spark, sf_dir))
+    """Derived spans regrouped to the nested (doc_id, spans) contract.
+
+    r6: unsorted regroup — every consumer of this helper (``extract`` in
+    both modes, the q55 arrow chain via its ``sort`` stage) orders by
+    offset itself, so the regroup's own sort was pure duplicated work."""
+    return pipeline.from_flat(spans_df(spark, sf_dir), sort=False)
 
 
 # ---------------------------------------------------------------------------
@@ -1359,8 +1363,11 @@ def q44_process_stats_spark(spark, sf_dir):
     loss channel is non-trivial; elapsed seconds derive from src_id."""
     from .pipeline import process_statistics
 
-    pm = _page_meta_df(spark, sf_dir)
-    dm = _doc_meta_df(spark, sf_dir)
+    # r6: the derived page/doc dimensions feed four join branches each —
+    # materialize once (guide §5: cut lineage for a reused intermediate)
+    # instead of re-deriving the meta CTE per branch
+    pm = _page_meta_df(spark, sf_dir).localCheckpoint(eager=True)
+    dm = _doc_meta_df(spark, sf_dir).localCheckpoint(eager=True)
     cand = pm.select("doc_id", F.col("media_ref").alias("stem"))
     res = pm.where(
         (F.col("src_id") + F.col("media_ref").cast("int")) % 5 != 0
@@ -1878,8 +1885,14 @@ def q55_ini_pipeline_spark(spark, sf_dir):
     with open(path, "w", encoding="utf-8") as fh:
         fh.write(_Q55_INI)
     stages, _skipped = load_steps_ini(path)
-    run = pipeline.build_pipeline(["sort", *stages, "reoffset"])
-    return pipeline.to_flat(run(docs_nested_df(spark, sf_dir)))
+    # r6: same INI-loaded stage chain (O4 ordering still value-observable),
+    # executed through the arrow stage mirrors instead of the nested
+    # interpreted HOF transforms; equality pinned in test_r06_optimizations
+    return pipeline.to_flat(
+        pipeline.run_pipeline_arrow(
+            docs_nested_df(spark, sf_dir), ["sort", *stages, "reoffset"]
+        )
+    )
 
 
 def _q55_oracle() -> str:
