@@ -94,6 +94,13 @@ def postprocess_line_tokens(tokens: list[str]) -> list[str]:
     delmap = _ODEM_DEL
     min_len = MINIMUM_WORD_LEN
     for raw in tokens:
+        if raw.isalnum():
+            # fast path (exact): an alphanumeric token has no punctuation
+            # and no whitespace — never dropped as punctuation, never
+            # split, survives iff it meets the minimum length
+            if len(raw) >= min_len:
+                append(raw)
+            continue
         stripped = raw.strip()
         if not stripped.translate(delmap):
             continue  # fully punctuated (or blank) -> dropped
