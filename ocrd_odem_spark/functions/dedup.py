@@ -669,6 +669,7 @@ def neardup_components(
         )
 
     prev = _metric(labels)
+    converged = False
     for _ in range(max_rounds):
         # min over self + neighbour labels
         msgs = edges.join(labels, edges["v"] == labels["node"]).select(
@@ -696,8 +697,18 @@ def neardup_components(
         )
         cur = _metric(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # an unconverged graph yields split components and
+        # dedup_keep_canonical would keep several "canonical" docs for one
+        # true group — never silent (ADVICE r5)
+        raise RuntimeError(
+            f"neardup_components did not converge within max_rounds="
+            f"{max_rounds}; raise max_rounds (O(log diameter) rounds "
+            "suffice with pointer jumping)"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 

@@ -443,6 +443,11 @@ def _decode_progressive_scan(
                         r -= 1
                     k += 1
                 if val:
+                    if k > se:
+                        # corrupt stream drove the zigzag index past the
+                        # band end; keep it on the documented decode_error
+                        # channel instead of an IndexError (ADVICE r5)
+                        raise ValueError("AC index overrun in refinement scan")
                     coef_block[_ZIGZAG[k]] = val
                 k += 1
         if eob[0] > 0:

@@ -160,10 +160,20 @@ def materialize_zips(export_table: DataFrame, out_dir: str) -> int:
     a production share-mount would instead ``foreachPartition`` this."""
     os.makedirs(out_dir, exist_ok=True)
     n = 0
+    seen: set[str] = set()
     for row in export_table.select("saf_name", "zip_bytes").toLocalIterator():
         name = row["saf_name"]
         if os.sep in name or name.startswith(".") or ".." in name:
             raise ValueError(f"unsafe export artifact name {name!r}")
+        if name in seen:
+            # distinct doc_ids can sanitize to one stem ('oai:a/b' and
+            # 'oai:a:b' both become 'oai_a_b'); overwriting would silently
+            # lose a document's export (ADVICE r5) — fail loudly instead
+            raise ValueError(
+                f"export artifact name collision: {name!r} maps to more "
+                "than one document; disambiguate doc_ids before export"
+            )
+        seen.add(name)
         with open(os.path.join(out_dir, name + ".zip"), "wb") as fh:
             fh.write(bytes(row["zip_bytes"]))
         n += 1

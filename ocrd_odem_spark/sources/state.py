@@ -244,6 +244,22 @@ def _run_with_checkpoint_locked(
     if done:
         pending_docs = pending_docs.where(~F.col("_bucket").isin(done))
 
+    if fail_after_buckets is not None:
+        # r6 crash-scope prune (guide §1.2: don't compute what you throw
+        # away): a run that will crash after publishing N buckets never
+        # benefits from staging the rest — resume recomputes them from
+        # scratch either way.  Scope = the first N non-empty pending
+        # buckets in the same lexical order the publish loop walks the
+        # staged dirs, so the published set (and every counter) is
+        # unchanged.
+        nonempty = sorted(
+            (int(r["_bucket"]) for r in
+             pending_docs.select("_bucket").distinct().collect()),
+            key=str,
+        )
+        scope = nonempty[:fail_after_buckets]
+        pending_docs = pending_docs.where(F.col("_bucket").isin(scope))
+
     out = transform(pending_docs.select("doc_id", "spans")).withColumn(
         "_bucket", bucket
     )
@@ -449,4 +465,13 @@ def read_output(spark: SparkSession, output_path: str) -> DataFrame:
     paths = sorted(
         os.path.join(output_path, rel) for rel in set(committed.values())
     )
-    return spark.read.parquet(*paths).select("doc_id", "spans")
+    # legacy pre-manifest layouts published buckets as root-level
+    # _bucket= dirs; a manifest-protocol run appending to such an output
+    # must not make them invisible (they are state-marked done and would
+    # be neither read nor reprocessed — ADVICE r5)
+    legacy = sorted(
+        os.path.join(output_path, n)
+        for n in os.listdir(output_path)
+        if n.startswith("_bucket=")
+    )
+    return spark.read.parquet(*paths, *legacy).select("doc_id", "spans")

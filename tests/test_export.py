@@ -150,3 +150,22 @@ def test_hostile_doc_ids_sanitized(spark, tmp_path):
     with zipfile.ZipFile(io.BytesIO(blob)) as zf:
         dc = zf.read("dublin_core.xml").decode()
     assert "../../etc/passwd" in dc
+
+
+def test_materialize_zips_rejects_stem_collision(spark, tmp_path):
+    """Two distinct doc_ids sanitizing to one artifact stem must raise,
+    not silently overwrite (ADVICE r5)."""
+    import pytest
+
+    from ocrd_odem_spark.sources.export import export_documents, materialize_zips
+
+    docs = spark.createDataFrame(
+        [
+            ("oai:a/b", [{"kind": "text", "text": "x y", "media_ref": "1", "offset": 0}]),
+            ("oai:a:b", [{"kind": "text", "text": "z w", "media_ref": "1", "offset": 0}]),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    table = export_documents(docs, fmt="saf", prefix="p_")
+    with pytest.raises(ValueError, match="collision"):
+        materialize_zips(table, str(tmp_path / "share"))
