@@ -326,28 +326,43 @@ def estimate_page_quality(
     bounded dimension (e.g. a fixed dictionary).
     """
     toks = F.filter(F.split(F.col("file_string"), " "), lambda t: t != "")
-    exploded = page_stats.select(
-        "doc_id", "media_ref", F.size(toks).alias("n_words"),
-        F.explode_outer(toks).alias("tok"),
+    pages = page_stats.select(
+        "doc_id", "media_ref", F.size(toks).cast("long").alias("n_words"),
+        toks.alias("_toks"),
     )
     if known_words is not None:
+        # r6 (guide §2.3: shuffle fewer bytes): only ERROR tokens reach the
+        # per-page aggregation — an anti-join against the vocabulary drops
+        # every known token before the exchange, so the groupBy shuffles
+        # the (usually tiny) miss set instead of one row per token.  The
+        # join strategy still belongs to AQE (no forced broadcast unless
+        # the caller opts in); n_errs values are unchanged.
         vocab = known_words.select(F.col("word").alias("tok")).distinct()
-        vocab = vocab.withColumn("_known", F.lit(1))
         if broadcast_vocab:
             vocab = F.broadcast(vocab)
-        marked = exploded.join(vocab, "tok", "left")
-        is_err = F.col("_known").isNull() & F.col("tok").isNotNull()
+        errs = (
+            pages.select(
+                "doc_id", "media_ref", F.explode("_toks").alias("tok")
+            )
+            .join(vocab, "tok", "left_anti")
+            .groupBy("doc_id", "media_ref")
+            .agg(F.count("*").cast("long").alias("n_errs_raw"))
+        )
     else:
-        marked = exploded
-        is_err = F.col("tok").isNotNull() & ~F.col("tok").rlike(r"^[^\W\d_]+$")
-    agg = marked.groupBy("doc_id", "media_ref", "n_words").agg(
-        F.sum(F.when(is_err, 1).otherwise(0)).cast("long").alias("n_errs_raw")
-    )
-    n_errs = F.least(F.col("n_errs_raw"), F.col("n_words")).alias("n_errs")
-    return agg.select(
-        "doc_id", "media_ref", F.col("n_words").cast("long").alias("n_words"),
-        n_errs,
-        quality_ratio(F.col("n_words"), F.col("n_errs_raw")).alias("quality_ratio"),
+        errs = (
+            pages.select(
+                "doc_id", "media_ref", F.explode("_toks").alias("tok")
+            )
+            .where(~F.col("tok").rlike(r"^[^\W\d_]+$"))
+            .groupBy("doc_id", "media_ref")
+            .agg(F.count("*").cast("long").alias("n_errs_raw"))
+        )
+    joined = pages.drop("_toks").join(errs, ["doc_id", "media_ref"], "left")
+    n_errs_raw = F.coalesce(F.col("n_errs_raw"), F.lit(0).cast("long"))
+    return joined.select(
+        "doc_id", "media_ref", F.col("n_words"),
+        F.least(n_errs_raw, F.col("n_words")).alias("n_errs"),
+        quality_ratio(F.col("n_words"), n_errs_raw).alias("quality_ratio"),
     )
 
 
