@@ -172,41 +172,54 @@ def extract(
 def extract_arrow(
     docs: DataFrame, dehyphenate: bool = False, with_metrics: bool = False
 ) -> DataFrame:
-    """Arrow-batched extraction: ``mapInPandas`` running the exact oracle
-    loops per document.
+    """Arrow-batched extraction: ``mapInArrow`` running the exact oracle
+    loops per document over flat columnar buffers.
 
     Why this exists alongside the HOF plan: Spark's higher-order array
     functions are CodegenFallback (interpreted, per-element object churn),
     while this path moves each Arrow batch into Python once and runs plain
-    tight loops — measured ~2.7x faster on the bench corpus at identical
-    output.  It is still narrow (no shuffle), still per-partition parallel,
-    and the payload crosses the Arrow boundary exactly twice.
+    tight loops.  It is still narrow (no shuffle), still per-partition
+    parallel, and the payload crosses the Arrow boundary exactly twice.
+
+    r6.2 boundary rewrite (guide §4.2): the earlier ``mapInPandas`` form
+    paid one Python dict per SPAN on the way in (pyarrow's
+    list<struct>→pandas conversion) and one tuple per span on the way out —
+    at the driver's sf1.0 that is ~240 M dict/tuple constructions around
+    ~6 s of real loop work.  ``mapInArrow`` hands us the list<struct>
+    column directly: the per-doc offset sort collapses to ONE stable
+    ``np.lexsort`` per batch, field access is flat-array indexing, and the
+    output list<struct> is assembled from four flat arrays + a lengths
+    vector (`pa.ListArray.from_arrays`).  The per-document loop itself is
+    unchanged oracle semantics (``postprocess_line_tokens`` /
+    ``dehyphenate_lines``), proven identical by the dual-mode equality
+    tests and the seed-sweep oracle invariant.
 
     ``with_metrics`` (r6): the same per-document loop also counts the hof
     tier's metric columns — pages/lines/tokens out, input text lines, and
     the de-hyphenation merge count — value-identical to the hof
     expressions (pinned by ``test_r06_optimizations``).
     """
-    import pandas as pd
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     from ..oracle import dehyphenate_lines, postprocess_line_tokens
 
-    def extract_rows(spans):
-        """Fast path of the oracle loops over the Arrow-delivered span
-        dicts (no intermediate copies).  Semantics proven identical to the
-        oracle by the dual-mode equality tests."""
-        ordered = sorted(spans, key=lambda s: s["offset"])
+    def extract_doc(is_media, texts, refs, lo, hi):
+        """Oracle loops for one document's spans at flat positions
+        [lo, hi), already offset-sorted (stable, matching the previous
+        ``sorted(spans, key=offset)``)."""
         out: list[tuple] = []
         n_lines_in = 0
         n_merges = 0
-        for s in ordered:
-            if s["kind"] == "media":
-                out.append(("media", s["text"], s["media_ref"]))
+        for j in range(lo, hi):
+            if is_media[j]:
+                out.append(("media", texts[j], refs[j]))
                 continue
             n_lines_in += 1
-            toks = postprocess_line_tokens((s["text"] or "").split(" "))
+            toks = postprocess_line_tokens((texts[j] or "").split(" "))
             if toks:
-                out.append(("text", " ".join(toks), s["media_ref"]))
+                out.append(("text", " ".join(toks), refs[j]))
         if dehyphenate:
             merged: list[tuple] = []
             page_lines: list[str] = []
@@ -233,36 +246,86 @@ def extract_arrow(
                     page_lines.append(row[1])
             n_merges += flush()
             out = merged
-        return [(k, t, r, i) for i, (k, t, r) in enumerate(out)], n_lines_in, n_merges
+        return out, n_lines_in, n_merges
 
     def run(batches):
-        for pdf in batches:
-            out = [
-                (rec.doc_id, extract_rows(rec.spans)[0])
-                for rec in pdf.itertuples(index=False)
-            ]
-            yield pd.DataFrame(out, columns=["doc_id", "spans"])
-
-    def run_metrics(batches):
-        for pdf in batches:
-            rows = []
-            for rec in pdf.itertuples(index=False):
-                spans, n_lines_in, n_merges = extract_rows(rec.spans)
-                n_pages = sum(1 for s in spans if s[0] == "media")
-                n_lines_out = len(spans) - n_pages
-                # split(' ') semantics: n_tokens = count(' ') + 1 per line
-                n_tokens_out = sum(
-                    s[1].count(" ") + 1 for s in spans if s[0] == "text"
-                )
-                rows.append(
-                    (rec.doc_id, spans, n_pages, n_lines_in, n_lines_out,
-                     n_tokens_out, n_merges)
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=["doc_id", "spans", "n_pages", "n_lines_in",
-                         "n_lines_out", "n_tokens_out", "n_dehyphenated"],
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            doc_ids = batch.column(0)
+            spans_col = batch.column(1)
+            lengths = pc.list_value_length(spans_col)
+            lengths = (
+                lengths.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
             )
+            flat = spans_col.flatten()
+            offs = flat.field("offset").to_numpy(zero_copy_only=False)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            # one stable sort for the whole batch == per-doc sorted(key=offset)
+            perm = pa.array(np.lexsort((offs, doc_idx)))
+            texts = flat.field("text").take(perm).to_pylist()
+            refs = flat.field("media_ref").take(perm).to_pylist()
+            # plain Python lists: per-span numpy scalar indexing in the hot
+            # loop costs ~3x a list index
+            is_media = (
+                pc.equal(flat.field("kind"), "media").take(perm).to_pylist()
+            )
+            bounds = np.concatenate(([0], np.cumsum(lengths))).tolist()
+            out_k: list[str] = []
+            out_t: list = []
+            out_r: list = []
+            out_o: list[int] = []
+            list_off = np.empty(n + 1, dtype=np.int32)
+            list_off[0] = 0
+            metrics = (
+                np.empty((5, n), dtype=np.int64) if with_metrics else None
+            )
+            for i in range(n):
+                rows, n_lines_in, n_merges = extract_doc(
+                    is_media, texts, refs, bounds[i], bounds[i + 1]
+                )
+                for o, (k, t, r) in enumerate(rows):
+                    out_k.append(k)
+                    out_t.append(t)
+                    out_r.append(r)
+                    out_o.append(o)
+                list_off[i + 1] = len(out_k)
+                if metrics is not None:
+                    n_pages = sum(1 for row in rows if row[0] == "media")
+                    # split(' ') semantics: n_tokens = count(' ') + 1/line
+                    n_tokens_out = sum(
+                        row[1].count(" ") + 1 for row in rows if row[0] == "text"
+                    )
+                    metrics[0, i] = n_pages
+                    metrics[1, i] = n_lines_in
+                    metrics[2, i] = len(rows) - n_pages
+                    metrics[3, i] = n_tokens_out
+                    metrics[4, i] = n_merges
+            struct = pa.StructArray.from_arrays(
+                [
+                    pa.array(out_k, pa.string()),
+                    pa.array(out_t, pa.string()),
+                    pa.array(out_r, pa.string()),
+                    pa.array(out_o, pa.int32()),
+                ],
+                names=["kind", "text", "media_ref", "offset"],
+            )
+            spans_out = pa.ListArray.from_arrays(
+                pa.array(list_off, pa.int32()), struct
+            )
+            cols = [doc_ids, spans_out]
+            names = ["doc_id", "spans"]
+            if metrics is not None:
+                cols += [pa.array(metrics[m]) for m in range(5)]
+                names += [
+                    "n_pages",
+                    "n_lines_in",
+                    "n_lines_out",
+                    "n_tokens_out",
+                    "n_dehyphenated",
+                ]
+            yield pa.RecordBatch.from_arrays(cols, names=names)
 
     span_t = (
         "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
@@ -272,8 +335,8 @@ def extract_arrow(
             f"doc_id string, spans {span_t}, n_pages long, n_lines_in long, "
             "n_lines_out long, n_tokens_out long, n_dehyphenated long"
         )
-        return docs.select("doc_id", "spans").mapInPandas(run_metrics, schema=schema)
-    return docs.select("doc_id", "spans").mapInPandas(
+        return docs.select("doc_id", "spans").mapInArrow(run, schema=schema)
+    return docs.select("doc_id", "spans").mapInArrow(
         run, schema=f"doc_id string, spans {span_t}"
     )
 

@@ -259,3 +259,37 @@ def test_run_pipeline_arrow_rejects_unmirrored(spark):
         pipeline.run_pipeline_arrow(docs, ["sort", "dehyphenate"])
     with _pytest.raises(KeyError):
         pipeline.run_pipeline_arrow(docs, ["nope"])
+
+
+def test_extract_arrow_boundary_edge_shapes(spark):
+    """r6.2 mapInArrow boundary: flat-columnar in/out must survive the
+    degenerate list shapes the dict-per-span form handled implicitly —
+    empty span arrays, media-only docs, null text cells, unsorted
+    offsets, and a batch whose every doc is empty."""
+    from ocrd_odem_spark.plans import pipeline
+    from ocrd_odem_spark.schema import DOCS_SCHEMA
+
+    rows = [
+        ("empty", []),
+        ("media_only", [("media", "", "00000001", 0)]),
+        ("null_text", [("text", None, "00000001", 2),
+                       ("media", "", "00000001", 0)]),
+        ("unsorted", [("text", "zwei- ", "00000001", 3),
+                      ("text", "teilig hier", "00000001", 4),
+                      ("media", "", "00000001", 0)]),
+        ("plain", [("media", "", "00000001", 0),
+                   ("text", "ein wort ...", "00000001", 1)]),
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    for dehyph in (False, True):
+        hof = {
+            r["doc_id"]: [tuple(s) for s in r["spans"]]
+            for r in pipeline.extract(docs, dehyphenate=dehyph, mode="hof").collect()
+        }
+        arrow = {
+            r["doc_id"]: [tuple(s) for s in r["spans"]]
+            for r in pipeline.extract(
+                docs, dehyphenate=dehyph, mode="arrow"
+            ).collect()
+        }
+        assert arrow == hof
